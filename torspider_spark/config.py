@@ -1,0 +1,69 @@
+"""Crawl configuration — every named input of the determinism criterion.
+
+The reference reads spider.cfg + env overrides (/root/reference/
+TorSpider.py:423-475). Here the analogue is a frozen dataclass shipped with
+--py-files and overridable via ``spark.torfrontier.*`` Spark conf keys, so
+"same seeds + same politeness budget => same crawl ordering + URL-seen set"
+is a function of this object alone (north_rule).
+
+Determinism ground rules (SURVEY.md §7): the scan date is config-injected
+(the reference's ``date.today()`` at classes.py:10 is nondeterministic);
+epoch ids replace wall-clock; every ordering ties back to
+(priority, depth, url_hash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # -- politeness / scheduling (the equality criterion's named inputs) ----
+    host_budget_per_epoch: int = 4      # max fetches per host per epoch (F2)
+    max_depth: int = 6                  # drop discovered URLs deeper than this
+    max_tries: int = 3                  # offline scans before state=dead (F5)
+    retry_backoff_epochs: int = 1       # no-fault/offline retry delay (F3)
+    max_epochs: int = 100               # BSP loop bound
+    robots_enabled: bool = True         # 2.J (north_rule addition)
+    robots_ttl_epochs: int = 10         # robots cache refresh period
+    rescan_period_epochs: int = 0       # 0 = never rescan 'done' URLs
+
+    # -- determinism --------------------------------------------------------
+    scan_date: str = "2026-01-01"       # injected; classes.py:10 analogue
+    seed: int = 42
+
+    # -- scale / physical ----------------------------------------------------
+    shuffle_partitions: int = 32        # ~cores locally; 2-4x cores on a cluster
+    salt_buckets: int = 8               # hot-host salting fan-out (E1/F1 skew)
+    topk_local_prefilter: bool = True   # two-phase salted top-k in F1
+    bloom_capacity: int = 1 << 22       # per-epoch URL-seen bloom prefilter
+    bloom_fpp: float = 0.03
+    bloom_min_frontier: int = 100_000   # below this, skip bloom (anti-join only)
+    arrow_batch_rows: int = 2048        # caps parser peak memory per batch
+
+    CONF_PREFIX = "spark.torfrontier."
+
+    @classmethod
+    def from_spark_conf(cls, spark) -> "CrawlConfig":
+        """Build from ``spark.torfrontier.<field>`` conf keys when present."""
+        kwargs = {}
+        for f in fields(cls):
+            try:
+                raw = spark.conf.get(cls.CONF_PREFIX + f.name)
+            except Exception:
+                raw = None
+            if raw is None:
+                continue
+            if f.type in ("int", int):
+                kwargs[f.name] = int(raw)
+            elif f.type in ("float", float):
+                kwargs[f.name] = float(raw)
+            elif f.type in ("bool", bool):
+                kwargs[f.name] = raw.lower() in ("1", "true", "yes")
+            else:
+                kwargs[f.name] = raw
+        return cls(**kwargs)
+
+
+TINY = CrawlConfig()  # defaults == FIXTURES.md §5 politeness.json

@@ -1,0 +1,224 @@
+"""The crawl job: a BSP loop of DataFrame epochs over snapshot tables.
+
+Reference lifecycle mapping (SURVEY.md §3.1): the reference's unbounded
+``while not time_to_sleep`` worker loop (/root/reference/TorSpider.py:105-417)
+becomes ``for epoch in ...`` over whole-frontier DataFrame jobs; the 'sleep'
+poison-pill file (TorSpider.py:109-114) becomes a stop marker checked at
+epoch boundaries; supervisord restart (deployment docs) becomes
+resume-from-snapshot — every epoch ends in an atomic warehouse commit, and a
+re-run of a half-finished epoch is idempotent.
+
+Per-epoch dataflow (shuffles annotated):
+
+    frontier (snapshot scan)
+      -> F1 politeness top-k per host     [shuffle 1: by (host, salt), tiny]
+      -> robots gate (2.J, broadcast cache)
+      -> E1 fetch-join + taxonomy + extraction (operators/pipeline.py)
+                                          [AQE: broadcast when batch small]
+      -> E2 URL-seen semi/anti (operators/dedup.py)
+                                          [broadcast; frontier never shuffled]
+      -> E3 state merge + inserts -> new frontier snapshot [epoch barrier]
+      -> scan_results append, metrics append
+
+The north metric (G6) — new unique URLs discovered+deduped per second of
+epoch wall time — is recorded in the metrics table per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.operators import candidate, dedup, frontier as fr
+from torspider_spark.operators import pipeline
+from torspider_spark.schemas import METRICS
+from torspider_spark.sources.warehouse import Warehouse
+
+STOP_MARKER = "_STOP"  # the 'sleep' file analogue (TorSpider.py:109-114)
+
+
+class CrawlJob:
+    def __init__(self, spark: SparkSession, corpus_dir: str, work_dir: str,
+                 cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.wh = Warehouse(spark, work_dir)
+        self.work_dir = work_dir
+        self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+        self.pages_meta = spark.read.parquet(
+            os.path.join(corpus_dir, "pages_meta.parquet"))
+        self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+        self._robots_bc = None
+        self._robots_built_epoch = -(10**9)
+        self._bloom = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def bootstrap(self, force: bool = False) -> None:
+        """Seeds -> frontier snapshot at epoch 0 (no-op when resuming)."""
+        if self.wh.exists("frontier") and not force:
+            return
+        frontier0 = fr.bootstrap(self.spark, self.seeds, self.cfg)
+        self.wh.commit("frontier", frontier0, epoch=0, mode="overwrite",
+                       meta={"source": "seeds"})
+
+    def resume_epoch(self) -> int:
+        """First epoch to run: one past the last committed frontier."""
+        current = self.wh.current_epoch("frontier")
+        return 1 if current is None else current + 1
+
+    def stop_requested(self) -> bool:
+        return os.path.exists(os.path.join(self.work_dir, STOP_MARKER))
+
+    # -- robots cache (2.J) ---------------------------------------------------
+
+    def _robots(self, epoch: int):
+        if not self.cfg.robots_enabled:
+            return None
+        if epoch - self._robots_built_epoch >= self.cfg.robots_ttl_epochs:
+            self._robots_bc = candidate.build_robots_cache(
+                self.spark, self.pages_meta, self.pages, self.cfg)
+            self._robots_built_epoch = epoch
+        return self._robots_bc
+
+    # -- one epoch -----------------------------------------------------------
+
+    def run_epoch(self, epoch: int) -> dict:
+        t0 = time.time()
+        cfg = self.cfg
+        frontier = self.wh.read("frontier")
+
+        cands = candidate.select_candidates(frontier, epoch, cfg)
+        allowed, blocked = candidate.split_robots(cands, self._robots(epoch), cfg)
+        allowed = allowed.persist()
+        blocked = blocked.persist()
+        n_candidates = allowed.count()
+        n_blocked = blocked.count()
+        if n_candidates == 0 and n_blocked == 0:
+            allowed.unpersist()
+            blocked.unpersist()
+            return {"epoch": epoch, "candidates": 0, "blocked": 0,
+                    "posted": 0, "discovered": 0, "inserted": 0,
+                    "seconds": time.time() - t0, "empty": True}
+
+        internal = pipeline.run_scan(allowed, self.pages_meta, self.pages,
+                                     cfg).persist()
+        agg = internal.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("posted").cast("long")).alias("posted"),
+            F.sum(F.size("new_urls")).alias("discovered"),
+        ).collect()[0]
+
+        # Sink 1: the SpiderURL records (parse-queue analogue, A4).
+        self.wh.commit("scan_results",
+                       pipeline.to_scan_results(internal, epoch, cfg),
+                       epoch, mode="append")
+
+        # E2: dedup discovered URLs against the frontier.
+        discovered = fr.discovered_urls(internal, cfg, epoch).persist()
+        inserts = dedup.unseen_urls(
+            discovered, frontier, self.spark, self._maybe_bloom(frontier))
+        inserts = inserts.persist()
+        n_inserted = inserts.count()
+        if self._bloom is not None and n_inserted:
+            # The bloom must remain a SUPERSET of frontier keys (false
+            # negatives would skip the exact check and corrupt the URL-seen
+            # set) — fold this epoch's inserts in before the next epoch.
+            self._bloom.merge(dedup.build_bloom(inserts, cfg))
+
+        # E3: merge outcomes + union inserts -> next frontier snapshot.
+        merged = fr.merge_scan_updates(frontier, internal, blocked, cfg, epoch)
+        new_frontier = merged.unionByName(inserts)
+        self.wh.commit("frontier", new_frontier, epoch, mode="overwrite",
+                       meta={"candidates": n_candidates,
+                             "inserted": n_inserted})
+
+        stats = {
+            "epoch": epoch,
+            "candidates": n_candidates,
+            "blocked": n_blocked,
+            "posted": int(agg["posted"] or 0),
+            "discovered": int(agg["discovered"] or 0),
+            "inserted": n_inserted,
+            "seconds": time.time() - t0,
+            "empty": False,
+        }
+        stats["urls_per_sec"] = (
+            n_inserted / stats["seconds"] if stats["seconds"] > 0 else 0.0)
+        self._commit_metrics(epoch, stats, inserts)
+
+        for df in (allowed, blocked, internal, discovered, inserts):
+            df.unpersist()
+        return stats
+
+    def _maybe_bloom(self, frontier: DataFrame):
+        """Bloom prefilter once the frontier is large enough to matter.
+        Correctness never depends on it (exact anti-join is the arbiter)."""
+        cfg = self.cfg
+        if cfg.bloom_min_frontier <= 0:
+            return None
+        if self._bloom is None:
+            # Parquet count is metadata-only — a cheap size probe.
+            if frontier.count() >= cfg.bloom_min_frontier:
+                self._bloom = dedup.build_bloom(frontier, cfg)
+        return self._bloom
+
+    def _commit_metrics(self, epoch: int, stats: dict,
+                        inserts: DataFrame) -> None:
+        """G6 — per-epoch counters + per-bucket insert lineage."""
+        rows = [
+            (epoch, -1, name, int(stats[name]))
+            for name in ("candidates", "blocked", "posted", "discovered",
+                         "inserted")
+        ]
+        rows.append((epoch, -1, "epoch_millis", int(stats["seconds"] * 1000)))
+        # Deterministic per-bucket lineage: logical bucket = xxhash64(url_hash)
+        # mod shuffle partitions (what an Iceberg bucket(url_hash) layout
+        # would record per data file).
+        buckets = (
+            inserts.groupBy(
+                F.pmod(F.xxhash64("url_hash"),
+                       F.lit(self.cfg.shuffle_partitions)).alias("b"))
+            .count().collect()
+        )
+        rows.extend((epoch, int(r["b"]), "inserted_bucket_rows", int(r["count"]))
+                    for r in buckets)
+        df = self.spark.createDataFrame(rows, schema=METRICS)
+        self.wh.commit("metrics", df, epoch, mode="append")
+
+    # -- the loop ------------------------------------------------------------
+
+    def run(self, max_epochs: int | None = None,
+            verbose: bool = False) -> list[dict]:
+        self.bootstrap()
+        cfg = self.cfg
+        limit = max_epochs or cfg.max_epochs
+        start = self.resume_epoch()
+        history: list[dict] = []
+        for epoch in range(start, start + limit):
+            if self.stop_requested():
+                break
+            stats = self.run_epoch(epoch)
+            history.append(stats)
+            if verbose:
+                print(f"[epoch {epoch}] candidates={stats['candidates']} "
+                      f"posted={stats['posted']} inserted={stats['inserted']} "
+                      f"({stats['seconds']:.1f}s)")
+            if stats["empty"]:
+                break
+        return history
+
+    # -- derived tables (for stats / oracle queries) --------------------------
+
+    def results(self) -> DataFrame:
+        return self.wh.read("scan_results")
+
+    def frontier_df(self) -> DataFrame:
+        return self.wh.read("frontier")
+
+    def metrics_df(self) -> DataFrame:
+        return self.wh.read("metrics")

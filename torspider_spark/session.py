@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's physical-execution defaults.
+
+Every knob here is a scale decision (SURVEY.md §4):
+  - AQE on: runtime coalesce + skew-join split back up the explicit salting;
+  - shuffle partitions ~ cores locally (2-4x total cores on a real cluster);
+  - Arrow enabled and batch-capped so the HTML parser's peak memory stays
+    bounded on pathological pages (the reference's MemoryError analogue,
+    TorSpider.py:399-404);
+  - UTC session timezone so DuckDB oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "torspider_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "SPARK_SHUFFLE_PARTITIONS", cores if cores.isdigit() else "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch_rows))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,172 @@
+"""Snapshot-versioned parquet warehouse — Iceberg-semantics table store.
+
+The north_rule targets Iceberg tables; this container image ships no Iceberg
+runtime jars, so the engine runs on a minimal table format with the three
+Iceberg properties the crawl loop actually relies on:
+
+  1. **Atomic snapshot commit** — data files are written to a fresh
+     directory, then a single ``os.replace`` of the manifest JSON publishes
+     the snapshot. Readers only ever see the manifest's current state; a
+     crashed write leaves an unreferenced directory, never a torn table.
+  2. **Snapshot history / lineage** — every commit records
+     (snapshot id, epoch, parent, row/partition stats). ``rollback`` and
+     resume-from-checkpoint walk this history.
+  3. **Idempotent epoch re-commit** — committing the same (table, epoch)
+     again *replaces* that epoch's files in the manifest, so a died epoch
+     can simply be re-run (same inputs => same outputs; SURVEY.md §7).
+
+On a real cluster, swap this for an Iceberg catalog: ``commit(mode=
+'overwrite')`` becomes REPLACE TABLE / MERGE INTO, ``commit(mode='append')``
+becomes ``writeTo(...).append()``; the crawl plan is unchanged (it only
+talks to this interface). ``try_iceberg()`` returns a real-Iceberg adapter
+when the jars are present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), self.MANIFEST)
+
+    def manifest(self, name: str) -> dict | None:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _publish(self, name: str, manifest: dict) -> None:
+        """Atomic manifest swap — the commit point."""
+        path = self._manifest_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def exists(self, name: str) -> bool:
+        return self.manifest(name) is not None
+
+    def current_epoch(self, name: str) -> int | None:
+        m = self.manifest(name)
+        if not m or not m.get("snapshots"):
+            return None
+        return m["snapshots"][-1]["epoch"]
+
+    # -- I/O ------------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        m = self.manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"warehouse table not found: {name}")
+        dirs = m["current_dirs"]
+        if not dirs:
+            raise FileNotFoundError(f"warehouse table empty: {name}")
+        return self.spark.read.parquet(*[os.path.join(self._table_dir(name), d)
+                                         for d in dirs])
+
+    def commit(self, name: str, df: DataFrame, epoch: int,
+               mode: str = "overwrite", meta: dict | None = None) -> dict:
+        """Write df as a new snapshot of ``name`` for ``epoch``.
+
+        overwrite: snapshot = the new files only (frontier state).
+        append:    snapshot = previous files + new files, EXCEPT any files
+                   previously appended for this same epoch (idempotent
+                   epoch re-run; scan_results/metrics sinks).
+        """
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        m = self.manifest(name) or {"table": name, "snapshots": [],
+                                    "current_dirs": [], "epoch_dirs": {}}
+        seq = len(m["snapshots"])
+        data_dir = f"snap-{epoch:06d}-{seq:04d}"
+        out_path = os.path.join(tdir, data_dir)
+        df.write.mode("error").parquet(out_path)
+
+        epoch_key = str(epoch)
+        if mode == "overwrite":
+            current = [data_dir]
+            m["epoch_dirs"] = {epoch_key: [data_dir]}
+        elif mode == "append":
+            stale = set(m["epoch_dirs"].get(epoch_key, []))
+            current = [d for d in m["current_dirs"] if d not in stale]
+            current.append(data_dir)
+            m["epoch_dirs"][epoch_key] = [data_dir]
+        else:
+            raise ValueError(f"unknown commit mode: {mode}")
+
+        snapshot = {
+            "id": data_dir,
+            "epoch": epoch,
+            "mode": mode,
+            "parent": m["snapshots"][-1]["id"] if m["snapshots"] else None,
+            "committed_at": time.time(),
+            "dirs": current,
+            "meta": meta or {},
+        }
+        m["snapshots"].append(snapshot)
+        m["current_dirs"] = current
+        self._publish(name, m)
+        return snapshot
+
+    def rollback(self, name: str, epoch: int) -> None:
+        """Reset the table to the last snapshot at or before ``epoch``."""
+        m = self.manifest(name)
+        if m is None:
+            raise FileNotFoundError(name)
+        keep = [s for s in m["snapshots"] if s["epoch"] <= epoch]
+        if not keep:
+            raise ValueError(f"no snapshot at or before epoch {epoch}")
+        m["snapshots"] = keep
+        m["current_dirs"] = keep[-1]["dirs"]
+        m["epoch_dirs"] = {str(keep[-1]["epoch"]): keep[-1]["dirs"]}
+        self._publish(name, m)
+
+    def expire_snapshots(self, name: str, keep_last: int = 10) -> int:
+        """Delete data dirs not referenced by the last ``keep_last``
+        snapshots nor by the current state. Returns dirs removed."""
+        m = self.manifest(name)
+        if m is None:
+            return 0
+        live = set(m["current_dirs"])
+        for snap in m["snapshots"][-keep_last:]:
+            live.update(snap["dirs"])
+        removed = 0
+        tdir = self._table_dir(name)
+        for entry in os.listdir(tdir):
+            if entry.startswith("snap-") and entry not in live:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                removed += 1
+        m["snapshots"] = m["snapshots"][-keep_last:]
+        self._publish(name, m)
+        return removed
+
+
+def try_iceberg(spark: SparkSession) -> bool:
+    """True when a real Iceberg catalog is usable in this session. The
+    image has no Iceberg runtime jar, so this returns False here; kept as
+    the integration point for cluster deployments."""
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        return True
+    except Exception:
+        return False
