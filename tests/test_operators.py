@@ -1,0 +1,138 @@
+"""Unit tests: candidate selection, URL-seen dedup (+bloom), state merge."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.operators import candidate, dedup
+from torspider_spark.schemas import FRONTIER
+from torspider_spark.weblib import url_sha1
+
+
+def _frontier_df(spark, rows):
+    """rows: (url, host, depth, priority, state, next_eligible)."""
+    data = [
+        (u, url_sha1(u), h, d, p, s, "", 0, 0, -1, ne)
+        for (u, h, d, p, s, ne) in rows
+    ]
+    return spark.createDataFrame(data, FRONTIER)
+
+
+def test_politeness_budget_and_order(spark):
+    cfg = CrawlConfig(host_budget_per_epoch=2, salt_buckets=4)
+    rows = [(f"http://h{i % 3}.onion/p{i}", f"h{i % 3}.onion", i % 4, i % 2,
+             "pending", 0) for i in range(30)]
+    frontier = _frontier_df(spark, rows)
+    got = candidate.select_candidates(frontier, 1, cfg).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert all(len(v) <= 2 for v in by_host.values())
+    # Exact expected top-k per host by (priority, depth, url_hash).
+    expect = {}
+    for u, h, d, p, s, ne in rows:
+        expect.setdefault(h, []).append((p, d, url_sha1(u), u))
+    for h, items in expect.items():
+        want = [u for (_, _, _, u) in sorted(items)[:2]]
+        assert sorted(r.url for r in by_host[h]) == sorted(want), h
+
+
+def test_two_phase_topk_equals_single_phase(spark):
+    rows = [(f"http://hot.onion/p{i}", "hot.onion", i % 5, i % 3, "pending", 0)
+            for i in range(200)]
+    frontier = _frontier_df(spark, rows)
+    salted = candidate.select_candidates(
+        frontier, 1, CrawlConfig(host_budget_per_epoch=7, salt_buckets=8))
+    plain = candidate.select_candidates(
+        frontier, 1,
+        CrawlConfig(host_budget_per_epoch=7, topk_local_prefilter=False))
+    assert sorted(r.url for r in salted.collect()) == \
+        sorted(r.url for r in plain.collect())
+
+
+def test_eligibility_gating(spark):
+    cfg = CrawlConfig()
+    rows = [
+        ("http://a.onion/1", "a.onion", 0, 0, "pending", 0),
+        ("http://a.onion/2", "a.onion", 0, 0, "pending", 5),   # backoff
+        ("http://a.onion/3", "a.onion", 0, 0, "done", 0),
+        ("http://a.onion/4", "a.onion", 0, 0, "fault", 0),
+        ("http://a.onion/5", "a.onion", 0, 0, "dead", 0),
+    ]
+    frontier = _frontier_df(spark, rows)
+    got = {r.url for r in candidate.eligible(frontier, 1, cfg).collect()}
+    assert got == {"http://a.onion/1"}
+    # rescan of done rows when configured (last_scan_epoch=-1 + 2 <= 3)
+    cfg2 = CrawlConfig(rescan_period_epochs=2)
+    got2 = {r.url for r in candidate.eligible(frontier, 3, cfg2).collect()}
+    assert got2 == {"http://a.onion/1", "http://a.onion/3"}
+
+
+def test_unseen_urls_exact(spark):
+    frontier = _frontier_df(
+        spark, [(f"http://x.onion/{i}", "x.onion", 0, 0, "done", 0)
+                for i in range(50)])
+    new = spark.createDataFrame(
+        [(f"http://x.onion/{i}", url_sha1(f"http://x.onion/{i}"))
+         for i in range(40, 60)], "url string, url_hash string")
+    got = sorted(r.url for r in
+                 dedup.unseen_urls(new, frontier).select("url").collect())
+    assert got == [f"http://x.onion/{i}" for i in range(50, 60)]
+
+
+def test_unseen_urls_with_bloom_identical(spark):
+    cfg = CrawlConfig(bloom_capacity=1 << 12, bloom_fpp=0.2)
+    frontier = _frontier_df(
+        spark, [(f"http://x.onion/{i}", "x.onion", 0, 0, "done", 0)
+                for i in range(500)])
+    bloom = dedup.build_bloom(frontier, cfg)
+    new = spark.createDataFrame(
+        [(f"http://x.onion/{i}", url_sha1(f"http://x.onion/{i}"))
+         for i in range(400, 900)], "url string, url_hash string")
+    plain = sorted(r.url for r in
+                   dedup.unseen_urls(new, frontier).select("url").collect())
+    with_bloom = sorted(
+        r.url for r in dedup.unseen_urls(new, frontier, spark, bloom)
+        .select("url").collect())
+    assert plain == with_bloom
+    assert len(plain) == 400
+
+
+def test_bloom_no_false_negatives():
+    cfg = CrawlConfig(bloom_capacity=1 << 10, bloom_fpp=0.05)
+    bloom = dedup.UrlBloom(cfg.bloom_capacity, cfg.bloom_fpp)
+    keys = pd.Series([url_sha1(f"u{i}") for i in range(5000)])  # overloaded
+    bloom.add_series(keys)
+    assert bool(bloom.contains_series(keys).all())
+
+
+def test_crawl_resume_equals_uninterrupted(spark, corpus_dir,
+                                           tmp_path_factory):
+    """Kill after epoch j, resume => identical final state (SURVEY.md §5)."""
+    from torspider_spark.plans.crawl import CrawlJob
+
+    corpus, _spec = corpus_dir
+    cfg = CrawlConfig(bloom_min_frontier=0, host_budget_per_epoch=3,
+                      max_depth=4, max_tries=2)
+
+    solid = CrawlJob(spark, corpus, str(tmp_path_factory.mktemp("wa")), cfg)
+    solid.run(max_epochs=4)
+
+    broken_dir = str(tmp_path_factory.mktemp("wb"))
+    broken = CrawlJob(spark, corpus, broken_dir, cfg)
+    broken.run(max_epochs=2)  # "crash" here
+    resumed = CrawlJob(spark, corpus, broken_dir, cfg)  # fresh process
+    assert resumed.resume_epoch() == 3
+    resumed.run(max_epochs=2)
+
+    a = {(r.url, r.state, r.tries, r.last_hash)
+         for r in solid.frontier_df().collect()}
+    b = {(r.url, r.state, r.tries, r.last_hash)
+         for r in resumed.frontier_df().collect()}
+    assert a == b
+    ra = {(r.url, r.epoch, r.fault, r.hash) for r in solid.results().collect()}
+    rb = {(r.url, r.epoch, r.fault, r.hash) for r in resumed.results().collect()}
+    assert ra == rb

@@ -1,0 +1,59 @@
+"""Snapshot warehouse: atomic commits, append replace-on-re-run, rollback."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    from torspider_spark.sources.warehouse import Warehouse
+
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "x int")
+
+
+def test_overwrite_and_read(spark, wh):
+    wh.commit("t", _df(spark, [1, 2, 3]), epoch=1)
+    assert sorted(r.x for r in wh.read("t").collect()) == [1, 2, 3]
+    wh.commit("t", _df(spark, [9]), epoch=2)
+    assert [r.x for r in wh.read("t").collect()] == [9]
+    assert wh.current_epoch("t") == 2
+
+
+def test_append_accumulates(spark, wh):
+    wh.commit("t", _df(spark, [1]), epoch=1, mode="append")
+    wh.commit("t", _df(spark, [2]), epoch=2, mode="append")
+    assert sorted(r.x for r in wh.read("t").collect()) == [1, 2]
+
+
+def test_append_is_idempotent_per_epoch(spark, wh):
+    """Re-running a crashed epoch must not double its appended rows."""
+    wh.commit("t", _df(spark, [1]), epoch=1, mode="append")
+    wh.commit("t", _df(spark, [2, 3]), epoch=2, mode="append")
+    wh.commit("t", _df(spark, [2, 3]), epoch=2, mode="append")  # re-run
+    assert sorted(r.x for r in wh.read("t").collect()) == [1, 2, 3]
+
+
+def test_rollback(spark, wh):
+    wh.commit("t", _df(spark, [1]), epoch=1)
+    wh.commit("t", _df(spark, [2]), epoch=2)
+    wh.commit("t", _df(spark, [3]), epoch=3)
+    wh.rollback("t", 2)
+    assert [r.x for r in wh.read("t").collect()] == [2]
+    assert wh.current_epoch("t") == 2
+
+
+def test_expire_snapshots(spark, wh, tmp_path):
+    import os
+
+    for e in range(1, 6):
+        wh.commit("t", _df(spark, [e]), epoch=e)
+    removed = wh.expire_snapshots("t", keep_last=2)
+    assert removed == 3
+    assert [r.x for r in wh.read("t").collect()] == [5]
+    dirs = [d for d in os.listdir(tmp_path / "wh" / "t") if d.startswith("snap-")]
+    assert len(dirs) == 2

@@ -29,17 +29,24 @@ def _order():
             F.col("url_hash").asc()]
 
 
-def eligible(frontier: DataFrame, epoch: int) -> DataFrame:
-    """Rows the scheduler may fetch this epoch (F3 retry gating)."""
-    return frontier.filter(
-        (F.col("state") == "pending") & (F.col("next_eligible_epoch") <= epoch)
-    )
+def eligible(frontier: DataFrame, epoch: int,
+             cfg: CrawlConfig | None = None) -> DataFrame:
+    """Rows the scheduler may fetch this epoch (F3 retry gating), plus
+    periodic rescans of 'done' URLs when configured — that is what makes
+    the change-detection gate (B4) fire in steady state."""
+    pending = (F.col("state") == "pending") & (
+        F.col("next_eligible_epoch") <= epoch)
+    if cfg is not None and cfg.rescan_period_epochs > 0:
+        rescan = (F.col("state") == "done") & (
+            F.col("last_scan_epoch") + cfg.rescan_period_epochs <= epoch)
+        return frontier.filter(pending | rescan)
+    return frontier.filter(pending)
 
 
 def select_candidates(frontier: DataFrame, epoch: int,
                       cfg: CrawlConfig) -> DataFrame:
     """Politeness top-k per host over eligible rows (F1+F2)."""
-    rows = eligible(frontier, epoch)
+    rows = eligible(frontier, epoch, cfg)
     k = cfg.host_budget_per_epoch
     if cfg.topk_local_prefilter and cfg.salt_buckets > 1:
         salted = rows.withColumn(
