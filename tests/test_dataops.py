@@ -1,0 +1,151 @@
+"""Training-data pipeline operators: dedup, similarity, quality, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from torspider_spark.operators import multimodal, quality, similarity, textdedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+            (4, "completely different content about spark engines", "en"),
+            (5, "der hund läuft schnell und die katze ist nicht da", "de"),
+            (6, "el perro corre y la casa es grande por la noche", "es"),
+            (7, "UPPER CASE SHOUTING!!!! ???? ....", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_exact_duplicates(docs):
+    groups = textdedup.exact_duplicates(docs).filter(F.col("n_docs") > 1).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2
+    assert groups[0].keeper_id == 1
+    kept = textdedup.drop_exact_duplicates(docs)
+    assert kept.count() == 6
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5, 6, 7}
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {(r.a, r.b): r.est_jaccard
+             for r in textdedup.minhash_near_duplicates(
+                 docs, num_hashes=32, bands=8, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all({a, b} != {4, 5} for a, b in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    hashed = {r.doc_id: r.simhash for r in textdedup.simhash64(docs).collect()}
+    assert hashed[1] == hashed[2]
+    pairs = {(r.a, r.b): r.hamming
+             for r in textdedup.simhash_near_duplicates(
+                 docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = {(r.a, r.b): r.jaccard
+             for r in textdedup.ngram_jaccard_pairs(
+                 docs, shingle_n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 differ in the last word: 7 shingles each, 6 common
+    # -> jaccard 6/8
+    assert abs(pairs[(1, 3)] - 6 / 8) < 1e-9
+
+
+def test_brute_force_topk(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+             .first()["embedding"]]
+    top = similarity.brute_force_topk(emb, query, k=5).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].cos_sim - 1.0) < 1e-6
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_order(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 7)
+             .first()["embedding"]]
+    approx = similarity.lsh_topk(emb, query, k=5, n_planes=6, n_probes=4)
+    rows = approx.collect()
+    assert rows, "probed buckets must not be empty"
+    assert rows[0].vec_id == 7  # query's own bucket always probed
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_near_duplicates(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),     # identical
+            (3, [0.99, 0.1, 0.0]),    # close
+            (4, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.a, r.b) for r in similarity.near_duplicates_by_cosine(
+        emb, threshold=0.95, n_planes=4).collect()}
+    assert (1, 2) in pairs
+    assert all({a, b} != {1, 4} and {a, b} != {2, 4} for a, b in pairs)
+
+
+def test_quality_and_tokens(docs):
+    scored = {r.doc_id: r for r in quality.quality_score(docs).collect()}
+    assert scored[1].quality_score > scored[7].quality_score
+    assert scored[1].stopword_ratio > 0
+    counted = {r.doc_id: r for r in quality.token_count(docs).collect()}
+    assert counted[1].n_tokens == 9
+    assert counted[1].n_bpe_est >= 9
+
+
+def test_language_id(docs):
+    detected = {r.doc_id: r.detected_lang
+                for r in quality.language_id(docs).collect()}
+    assert detected[1] == "en"
+    assert detected[5] == "de"
+    assert detected[6] == "es"
+    assert detected[7] == "und"
+
+
+def test_fingerprint(spark, docs):
+    fp = {r.doc_id: r for r in quality.fingerprint(docs).collect()}
+    assert fp[1].content_md5 == fp[2].content_md5
+    assert fp[1].rolling_min64 == fp[2].rolling_min64
+    assert fp[1].content_md5 != fp[4].content_md5
+    # whitespace-normalization invariance
+    shifted = spark.createDataFrame(
+        [(1, "the  quick   brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    fp2 = quality.fingerprint(shifted).collect()[0]
+    assert fp2.content_md5 == fp[1].content_md5
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.decode_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r.n_bytes and r.width and 64 <= r.width < 2048 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: (r.width, r.height, r.phash64)
+             for r in multimodal.decode_image_features(media).collect()}
+    assert all(again[r.media_id] == (r.width, r.height, r.phash64)
+               for r in rows)
+    frames = multimodal.sample_video_frames(media).collect()
+    assert frames and all(r.frame_idx >= 0 for r in frames)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(media, use_real_codec=True)

@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All Spark-native column expressions (codegen'd) — no UDFs. Runs over
+`documents(doc_id, text, lang, source, n_chars)` or any text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für",
+           "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "ru": ["и", "в", "не", "на", "что", "это", "с", "как", "по", "его"],
+}
+
+
+def tokens_col(text_col):
+    """Whitespace tokens (lowercased)."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (chars/4 is the
+    classic rough BPE token proxy; the regex count tracks word+punct
+    boundaries the way byte-level BPE pretokenizers split)."""
+    toks = tokens_col(F.col(text_col))
+    bpe_ish = F.size(F.split(F.col(text_col),
+                             r"(?=[\s\p{Punct}])|(?<=[\s\p{Punct}])"))
+    return docs.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_bpe_est",
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long"),
+    ).withColumn("n_segments", bpe_ish)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, uppercase ratio,
+    mean word length. Everything is a codegen'd expression."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 50_000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    upper_ok = F.when(upper_ratio <= 0.3, 1.0).otherwise(0.5)
+    word_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0) \
+        .otherwise(0.4)
+    score = (length_ok + punct_ok + upper_ok + word_ok) / F.lit(4.0)
+
+    return docs.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: the language whose profile hits the
+    most tokens wins; 'und' (undetermined) when nothing hits. Deterministic
+    tie-break by language code."""
+    toks = tokens_col(F.col(text_col))
+
+    def profile_hits(profile):
+        return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+
+    best = None
+    for lang in sorted(STOPWORDS):
+        hits = profile_hits(F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        # struct comparison: (hits, inverted-lang) so higher hits win and
+        # ties resolve to the alphabetically first language.
+        entry = F.struct(hits.alias("hits"),
+                         F.lit(-ord(lang[0])).alias("tie"),
+                         F.lit(lang).alias("lang"))
+        best = entry if best is None else F.greatest(best, entry)
+    detected = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return docs.withColumn("detected_lang", detected)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints:
+    content_md5 — md5 of whitespace-normalized lowercase text (portable to
+    the DuckDB oracle); rolling_min64 — min xxhash64 over word 4-grams (a
+    1-perm minhash; shift-resistant rolling-window fingerprint)."""
+    normalized = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    count = F.greatest(F.size(words) - F.lit(3), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), count - 1),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
+    return docs.select(
+        "*",
+        F.md5(normalized).alias("content_md5"),
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+        .alias("rolling_min64"),
+    )

@@ -1,0 +1,219 @@
+"""Document deduplication suite for training-data pipelines.
+
+All hot paths are Spark-native (codegen'd xxhash64 / array ops) — no Python
+per row. Designed for the `documents(doc_id, text, lang, source, n_chars)`
+table but parameterized on columns.
+
+  exact        — md5 grouping (portable to the DuckDB oracle)
+  minhash LSH  — word-shingle -> xxhash64 minhash signature -> banded
+                 bucket join -> candidate pairs -> exact signature-overlap
+                 estimate. The shuffle story at 100 TB: shingle explosion is
+                 map-side (explode + partial min aggregation combines before
+                 the shuffle); the band join shuffles only (band, band_hash)
+                 keys, never text.
+  simhash      — token hashing folded into a 64-bit majority vector via
+                 map-side explode + bit-bucket aggregation, all JVM-side;
+                 near-dup = identical 16-bit chunk (banding) + hamming check.
+  n-gram jaccard — exact pairwise similarity via shingle co-occurrence
+                 counts (used standalone or to verify LSH candidates).
+  embedding cosine — see operators/similarity.py (near_duplicates_by_cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: md5(text) -> group size + keeper id."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document of each exact-duplicate group."""
+    keepers = exact_duplicates(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col))
+    return docs.join(keepers, id_col, "left_semi")
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Array of word n-gram shingles (JVM-side: split + transform/slice)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash signature per document.
+
+    Permutation h_i(s) = xxhash64(i, shingle): seeding xxhash64 with the
+    permutation index gives independent hash families, entirely codegen'd.
+    The per-document min over shingles happens inside a single projection
+    (transform + array_min over the shingle array) — zero explode, zero
+    shuffle for the signature stage.
+    """
+    shingles = word_shingles(text_col, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Shuffles only (band_id, band_hash, doc_id); the self-join happens inside
+    buckets (groupBy + pairwise expansion), so no full cross join ever forms.
+    """
+    num_hashes = len(signatures.select("sig").first()["sig"])
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    grouped = banded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("bucket"))
+    pairs = grouped.filter(F.size("bucket") > 1).select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("bucket"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("bucket"), i + 2,
+                            F.greatest(F.size("bucket") - i - 1, F.lit(0))),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ))
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 16,
+                            bands: int = 4, shingle_n: int = 3,
+                            threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs with estimated jaccard >= threshold."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    est = (
+        F.size(F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq))
+        / F.lit(float(num_hashes))
+    )
+    return (joined.select("a", "b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Token hashes contribute a +/-1 vote per bit; the 64 votes are 64
+    aggregate columns over one explode of tokens (no per-bit row blowup),
+    partially aggregated map-side before the single shuffle on doc_id;
+    bits re-assemble with literal shifts.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokens).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)) \
+            .otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    return per_doc.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit chunks
+    (any pair within hamming<=3 of 64 bits shares at least one chunk),
+    join on chunk equality, then exact popcount check."""
+    hashed = simhash64(docs, text_col, id_col)
+    chunks = hashed.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            ) for c in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    left = chunks.select(F.col("doc_id").alias("a"),
+                         F.col("simhash").alias("sh_a"), "chunk_id", "chunk")
+    right = chunks.select(F.col("doc_id").alias("b"),
+                          F.col("simhash").alias("sh_b"), "chunk_id", "chunk")
+    cand = (left.join(right, ["chunk_id", "chunk"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing any shingle.
+
+    |A ∩ B| via co-occurrence counts on exploded distinct shingles; set
+    sizes joined back broadcast-style. Quadratic only within shingle
+    buckets — suitable standalone at moderate scale or as the verifier
+    behind LSH candidates at full scale.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
+        .alias("sh"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    co = (
+        shingled.alias("x")
+        .join(shingled.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        co.join(sa, "a").join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""SpiderStats analytics (G1-G6) over the crawl warehouse.
+
+The reference's SpiderStats.py queries five backend tables (urls, onions,
+pages, forms, links) through a {op,name,val} filter DSL
+(/root/reference/SpiderStats.py:67-146). Here the tables are *derived* from
+the engine's scan_results/frontier snapshots, and each query is a DataFrame
+expression (the DSL's whole algebra — eq, ne, has, and — maps onto filter /
+left_semi join).
+
+Sentinel date semantics preserved: '1900-01-01' == never scanned / never
+seen online (SpiderStats.py:70-96).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from torspider_spark.schemas import FORM
+
+SENTINEL = "1900-01-01"
+
+
+# -- derived tables (SURVEY.md §1.2: links/forms/onions rollups) -------------
+
+def urls_table(frontier: DataFrame) -> DataFrame:
+    """urls: one row per known URL; date = sentinel until first scan."""
+    return frontier.select(
+        "url", "host", "state", "depth",
+        F.when(F.col("last_scan_epoch") >= 0,
+               F.col("last_scan_epoch").cast("string"))
+        .otherwise(F.lit(SENTINEL)).alias("date"),
+    )
+
+
+def onions_table(frontier: DataFrame, scan_results: DataFrame) -> DataFrame:
+    """onions: per-host rollup. last_online = latest epoch the host answered
+    online (sentinel when never); online = host still has non-dead URLs."""
+    per_host_results = scan_results.groupBy("host").agg(
+        F.max(F.when(F.col("online"), F.col("epoch"))).alias("last_online_epoch"))
+    per_host_frontier = frontier.groupBy("host").agg(
+        F.max(F.when(~F.col("state").isin("dead", "fault"), 1).otherwise(0))
+        .alias("alive"))
+    return (
+        per_host_frontier.join(per_host_results, "host", "left")
+        .select(
+            "host",
+            F.when(F.col("last_online_epoch").isNotNull(),
+                   F.col("last_online_epoch").cast("string"))
+            .otherwise(F.lit(SENTINEL)).alias("last_online"),
+            (F.col("alive") == 1).alias("online"),
+        )
+    )
+
+
+def links_table(scan_results: DataFrame) -> DataFrame:
+    """links: exploded new_urls edges (src -> dst, per epoch)."""
+    return scan_results.select(
+        F.col("url").alias("src"), "epoch",
+        F.explode("new_urls").alias("dst"))
+
+
+def forms_table(scan_results: DataFrame) -> DataFrame:
+    """forms: exploded + typed form records (JSON exactness carrier ->
+    FORM struct via from_json; unnamed fields surface as the "null" key)."""
+    exploded = scan_results.select(
+        "url", "epoch", F.explode("form_dicts").alias("form_json"))
+    return exploded.withColumn("form", F.from_json("form_json", FORM)).select(
+        "url", "epoch", "form_json", "form.*")
+
+
+def pages_table(scan_results: DataFrame) -> DataFrame:
+    """pages: stored page versions — one row per (url, hash) observation."""
+    return scan_results.filter(F.col("hash").isNotNull()).select(
+        "url", "host", "epoch", "hash", "title")
+
+
+# -- the stats queries (SpiderStats.py:65-170) --------------------------------
+
+def gather_stats(frontier: DataFrame, scan_results: DataFrame) -> dict:
+    urls = urls_table(frontier)
+    onions = onions_table(frontier, scan_results)
+    links = links_table(scan_results)
+    forms = forms_table(scan_results)
+    pages = pages_table(scan_results)
+
+    url_count = urls.count()                                   # G1
+    scanned = urls.filter(F.col("date") != SENTINEL).count()   # G2
+    active_onions = onions.filter(
+        (F.col("last_online") != SENTINEL) & F.col("online")).count()  # G3
+    remaining_onions = onions.filter(
+        (F.col("last_online") == SENTINEL) & F.col("online")).count()  # G3
+    live_urls = urls.join(                                     # G4 ('has')
+        onions.filter((F.col("last_online") != SENTINEL) & F.col("online")),
+        "host", "left_semi").count()
+    return {
+        "total_urls": url_count,
+        "scanned_urls": scanned,
+        "scan_percentage": scanned / url_count if url_count else 0.0,  # G5
+        "active_onions": active_onions,
+        "remaining_onions": remaining_onions,
+        "total_onions": onions.count(),
+        "live_urls": live_urls,
+        "total_pages": pages.count(),
+        "total_forms": forms.count(),
+        "total_links": links.count(),
+    }
+
+
+def format_stats(stats: dict) -> str:
+    """The reference's report text shape (SpiderStats.py:148-170)."""
+    return (
+        "So far, the engine has scanned {scanned_urls:,} "
+        "({scan_percentage:.2%}) of the {total_urls:,} urls it has "
+        "discovered. Of the scanned urls, it found {live_urls:,} live urls "
+        "on {active_onions:,} active onions. There are {remaining_onions:,} "
+        "onions that are pending an initial scan.\n"
+        "Table Stats:\n"
+        "Total Onions: {total_onions:,}\n"
+        "Total Urls: {total_urls:,}\n"
+        "Total Urls (live): {live_urls:,}\n"
+        "Total Pages: {total_pages:,}\n"
+        "Total Forms: {total_forms:,}\n"
+        "Total Links: {total_links:,}"
+    ).format(**stats)
