@@ -1,38 +1,367 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship crawl query; `queries()` exposes one entry
+per implemented operator family from SURVEY.md §2 plus the training-data
+ops; `oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names/aliases both sides). Crawl-engine
+queries run over a deterministic synthetic corpus generated on first use
+(seed-fixed; FIXTURES.md) and are rows-only checks — their real
+verification is the byte-equality + simulator-equality pytest suite.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_CORPUS_CACHE: dict[str, str] = {}
+
+
+def _corpus_dir() -> str:
+    """Deterministic tiny corpus, generated once per process."""
+    from torspider_spark.sources.corpus import TINY, build_corpus_local
+
+    if "dir" not in _CORPUS_CACHE:
+        out = os.path.join(tempfile.gettempdir(), "torspider_entry_corpus")
+        if not os.path.exists(os.path.join(out, "pages.parquet")):
+            build_corpus_local(TINY, out)
+        _CORPUS_CACHE["dir"] = out
+    return _CORPUS_CACHE["dir"]
+
+
+def _crawl_results(spark: SparkSession, epochs: int = 2):
+    """Run the engine for a couple of epochs on the tiny corpus (cached
+    per-process) and return (scan_results, frontier)."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans.crawl import CrawlJob
+
+    key = f"crawl{epochs}"
+    if key not in _CORPUS_CACHE:
+        work = os.path.join(tempfile.gettempdir(),
+                            f"torspider_entry_wh_{epochs}")
+        cfg = CrawlConfig(bloom_min_frontier=0)
+        job = CrawlJob(spark, _corpus_dir(), work, cfg)
+        if job.resume_epoch() <= epochs:
+            job.run(max_epochs=epochs - job.resume_epoch() + 1)
+        _CORPUS_CACHE[key] = work
+    from torspider_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, _CORPUS_CACHE[key])
+    return wh.read("scan_results"), wh.read("frontier")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 'how many new unique onion URLs did the first epochs
+    discover from the seeds, per host?' — exercises the full pipeline
+    (politeness -> fetch-join -> taxonomy -> extraction -> dedup)."""
+    results, frontier = _crawl_results(spark, epochs=2)
+    return (
+        frontier.filter(F.col("added_epoch") > 0)
+        .groupBy("host")
+        .agg(F.count("*").alias("discovered_urls"),
+             F.min("depth").alias("min_depth"))
+        .orderBy(F.col("discovered_urls").desc(), F.col("host"))
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries — one per operator family (SURVEY.md §2) + training-data ops
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from torspider_spark.operators import quality, similarity, textdedup
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_count_tables(spark, sf):  # G1 — plain counts
+        return _t(spark, sf, "lineitem").agg(
+            F.count("*").alias("n_lineitem"))
 
+    def q_filter_ne(spark, sf):  # G2/A9 — 'ne' filter + count
+        return (_t(spark, sf, "orders")
+                .filter(F.col("o_orderstatus") != "F")
+                .agg(F.count("*").alias("n_open")))
+
+    def q_filter_conj(spark, sf):  # A9 — 'and' conjunction of eq/ne
+        return (_t(spark, sf, "lineitem")
+                .filter((F.col("l_returnflag") == "R")
+                        & (F.col("l_linestatus") != "O"))
+                .agg(F.count("*").alias("n_returned"),
+                     F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+
+    def q_semi_join(spark, sf):  # G4/E4 — 'has' => left_semi
+        orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+        return (_t(spark, sf, "customer")
+                .join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_semi")
+                .agg(F.count("*").alias("n_big_customers")))
+
+    def q_anti_join(spark, sf):  # E2/D4 — seen-check as anti join
+        big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+        return (_t(spark, sf, "customer")
+                .join(big, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .agg(F.count("*").alias("n_small_customers")))
+
+    def q_topk_per_group(spark, sf):  # F1 — politeness window top-k
+        from pyspark.sql import Window
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (_t(spark, sf, "orders")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("o_custkey", "o_orderkey",
+                        F.round("o_totalprice", 2).alias("price"), "rn"))
+
+    def q_taxonomy_case(spark, sf):  # B1 — when-cascade classification
+        cls = (F.when(F.col("event_type").isin("click", "view"), "engage")
+               .when(F.col("event_type").isin("purchase"), "convert")
+               .when(F.col("value") > 100, "whale")
+               .otherwise("other"))
+        return (_t(spark, sf, "events")
+                .select(cls.alias("event_class"))
+                .groupBy("event_class")
+                .agg(F.count("*").alias("n"))
+                .orderBy("event_class"))
+
+    def q_agg_rollup(spark, sf):  # G6 — grouped metrics
+        return (_t(spark, sf, "orders")
+                .groupBy(F.date_format(
+                    F.date_trunc("month", "o_orderdate"),
+                    "yyyy-MM-dd").alias("month"))
+                .agg(F.count("*").alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                .orderBy("month"))
+
+    def q_windowed_time_agg(spark, sf):  # 2.H — event-time window agg
+        return (_t(spark, sf, "events")
+                .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("total_value"))
+                .orderBy("hour", "event_type"))
+
+    def q_distinct(spark, sf):  # D1 — distinct
+        return (_t(spark, sf, "lineitem")
+                .select("l_returnflag", "l_linestatus").distinct()
+                .orderBy("l_returnflag", "l_linestatus"))
+
+    def q_join_agg(spark, sf):  # E1 — fetch-join shape (fact ⋈ dim + agg)
+        nation = _t(spark, sf, "nation")
+        cust = _t(spark, sf, "customer")
+        return (cust.join(nation,
+                          cust.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count("*").alias("n_customers"),
+                     F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+                .orderBy("n_name"))
+
+    def q_dedup_exact(spark, sf):  # training-data: exact dedup
+        groups = textdedup.exact_duplicates(_t(spark, sf, "documents"))
+        return groups.agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1)
+                  .otherwise(0)).alias("n_redundant"))
+
+    def q_doc_quality(spark, sf):  # training-data: quality scoring
+        scored = quality.quality_score(_t(spark, sf, "documents"))
+        return (scored.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.round(F.avg("q_chars"), 4).alias("avg_chars"),
+                     F.round(F.avg("q_tokens"), 4).alias("avg_tokens"))
+                .orderBy("lang"))
+
+    def q_token_count(spark, sf):  # training-data: token counting
+        counted = quality.token_count(_t(spark, sf, "documents"))
+        return counted.agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe_est").alias("total_bpe_est"),
+            F.max("n_tokens").alias("max_tokens"))
+
+    def q_fingerprint(spark, sf):  # training-data: content fingerprint
+        fp = quality.fingerprint(_t(spark, sf, "documents"))
+        return fp.agg(
+            F.count_distinct("content_md5").alias("distinct_fingerprints"),
+            F.count("*").alias("n_docs"))
+
+    def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
+        emb = _t(spark, sf, "embeddings")
+        query_vec = [float(x) for x in
+                     emb.orderBy("vec_id").first()["embedding"]]
+        top = similarity.brute_force_topk(emb, query_vec, k=10)
+        return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+    # ---- crawl-engine queries (rows-only; verified by the pytest suites) ----
+
+    def q_crawl_discoveries(spark, sf):
+        return entry(spark)
+
+    def q_crawl_fault_taxonomy(spark, sf):  # B1/2.I over real results
+        results, _ = _crawl_results(spark, epochs=2)
+        return (results.groupBy("fault").agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("fault")))
+
+    def q_crawl_links(spark, sf):  # C1 + explode (links table)
+        from torspider_spark.plans.stats import links_table
+        results, _ = _crawl_results(spark, epochs=2)
+        return (links_table(results).groupBy("epoch")
+                .agg(F.count("*").alias("n_links"),
+                     F.count_distinct("dst").alias("n_unique_targets"))
+                .orderBy("epoch"))
+
+    def q_crawl_stats(spark, sf):  # G1-G5
+        from torspider_spark.plans import stats as st
+        results, frontier = _crawl_results(spark, epochs=2)
+        gathered = st.gather_stats(frontier, results)
+        return spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(gathered.items())],
+            "stat string, value double")
+
+    def q_crawl_minhash_dedup(spark, sf):  # minhash over crawl page text
+        pages = spark.read.parquet(
+            os.path.join(_corpus_dir(), "pages.parquet"))
+        sigs = textdedup.minhash_signatures(
+            pages.select(F.xxhash64("url").alias("doc_id"), "text"),
+            num_hashes=16)
+        pairs = textdedup.lsh_candidate_pairs(sigs, bands=4)
+        return pairs.agg(F.count("*").alias("n_candidate_pairs"))
+
+    return {
+        "count_tables": q_count_tables,
+        "filter_ne": q_filter_ne,
+        "filter_conj": q_filter_conj,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "topk_per_group": q_topk_per_group,
+        "taxonomy_case": q_taxonomy_case,
+        "agg_rollup": q_agg_rollup,
+        "windowed_time_agg": q_windowed_time_agg,
+        "distinct_pairs": q_distinct,
+        "join_agg": q_join_agg,
+        "dedup_exact": q_dedup_exact,
+        "doc_quality": q_doc_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "crawl_discoveries": q_crawl_discoveries,
+        "crawl_fault_taxonomy": q_crawl_fault_taxonomy,
+        "crawl_links": q_crawl_links,
+        "crawl_stats": q_crawl_stats,
+        "crawl_minhash_dedup": q_crawl_minhash_dedup,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same aliases as the Spark queries
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "count_tables": "SELECT count(*) AS n_lineitem FROM lineitem",
+        "filter_ne": (
+            "SELECT count(*) AS n_open FROM orders WHERE o_orderstatus <> 'F'"
+        ),
+        "filter_conj": (
+            "SELECT count(*) AS n_returned, round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus <> 'O'"
+        ),
+        "semi_join": (
+            "SELECT count(*) AS n_big_customers FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 100000)"
+        ),
+        "anti_join": (
+            "SELECT count(*) AS n_small_customers FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 200000)"
+        ),
+        "topk_per_group": (
+            "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+            "WHERE rn <= 3"
+        ),
+        "taxonomy_case": (
+            "SELECT CASE WHEN event_type IN ('click','view') THEN 'engage' "
+            "WHEN event_type IN ('purchase') THEN 'convert' "
+            "WHEN value > 100 THEN 'whale' ELSE 'other' END AS event_class, "
+            "count(*) AS n FROM events GROUP BY 1 ORDER BY event_class"
+        ),
+        "agg_rollup": (
+            "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') "
+            "AS month, "
+            "count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+            "FROM orders GROUP BY 1 ORDER BY month"
+        ),
+        "windowed_time_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        "distinct_pairs": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "join_agg": (
+            "SELECT n_name, count(*) AS n_customers, "
+            "round(sum(c_acctbal), 2) AS total_balance "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_groups, sum(n_docs) AS n_docs, "
+            "sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_redundant "
+            "FROM (SELECT md5(text) AS h, count(*) AS n_docs FROM documents "
+            "GROUP BY 1)"
+        ),
+        "doc_quality": (
+            "SELECT lang, count(*) AS n_docs, "
+            "round(avg(length(text)), 4) AS avg_chars, "
+            "round(avg(len(string_split(trim(lower(text)), ' '))), 4) "
+            "AS avg_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "token_count": (
+            "SELECT sum(n_tokens) AS total_tokens, "
+            "sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS total_bpe_est, "
+            "max(n_tokens) AS max_tokens FROM ("
+            "SELECT text, len(string_split(trim(lower(text)), ' ')) "
+            "AS n_tokens FROM documents)"
+        ),
+        "fingerprint": (
+            "SELECT count(DISTINCT md5(normalized)) AS distinct_fingerprints, "
+            "count(*) AS n_docs FROM (SELECT array_to_string("
+            "string_split(trim(lower(text)), ' '), ' ') AS normalized "
+            "FROM documents)"
+        ),
+        "ann_cosine": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings "
+            "ORDER BY vec_id LIMIT 1) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) "
+            "AS cos_sim FROM embeddings, q "
+            "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"
+        ),
+        # crawl_* queries: non-SQL-expressible (Arrow-UDF extraction engine);
+        # rows-only checks — verified instead by tests/test_e2e_equality.py.
+    }

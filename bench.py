@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the crawl
+engine's north metric (URLs discovered+deduped per second of epoch time).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+HEADLINE = [
+    "join_agg", "topk_per_group", "windowed_time_agg", "taxonomy_case",
+    "semi_join", "anti_join", "agg_rollup", "distinct_pairs",
+    "dedup_exact", "doc_quality", "token_count", "fingerprint", "ann_cosine",
+]
+
+CRAWL_EPOCHS = 3
+
+
+def _run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _run_noop(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, sf: float) -> dict:
+    """North metric: run the crawl engine on a seeded synthetic corpus."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans.crawl import CrawlJob
+    from torspider_spark.sources.corpus import SMALL, build_corpus_spark
+
+    corpus = os.path.join(tempfile.gettempdir(), "torspider_bench_corpus")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        build_corpus_spark(spark, SMALL, corpus)
+    work = tempfile.mkdtemp(prefix="torspider_bench_wh")
+    cfg = CrawlConfig(host_budget_per_epoch=8, bloom_min_frontier=0,
+                      robots_ttl_epochs=100)
+    job = CrawlJob(spark, corpus, work, cfg)
+    t0 = time.time()
+    history = job.run(max_epochs=CRAWL_EPOCHS)
+    wall = time.time() - t0
+    inserted = sum(h["inserted"] for h in history)
+    candidates = sum(h["candidates"] for h in history)
+    return {
+        "epochs": len(history),
+        "candidates": candidates,
+        "urls_discovered_deduped": inserted,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(inserted / wall, 2) if wall > 0 else 0.0,
+        "per_epoch": [
+            {"epoch": h["epoch"], "sec": round(h["seconds"], 3),
+             "inserted": h["inserted"]} for h in history
+        ],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.1
+
+    from torspider_spark.session import get_spark
+
+    spark = get_spark(app_name="torspider_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    # warm the JVM/Arrow paths so per-query timings are steady-state
+    spark.range(1000).agg({"id": "sum"}).collect()
+
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark, sf)
+    total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_crawl_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": int(cpus),
+    }))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

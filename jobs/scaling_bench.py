@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling benchmark (BASELINE.md protocol).
+
+No real cluster exists in this sandbox, so the north_rule's N vs 4N
+executor criterion is evidenced by running the SAME crawl job on the SAME
+corpus snapshot at local[N] and local[4N] (fresh JVM per run via
+subprocess), and reporting throughput at both plus
+efficiency = (T_4N / T_N) / 4. Writes BENCH/BASELINE.md.
+
+Usage: python jobs/scaling_bench.py [--n 8] [--warmup 2] [--measure 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time, tempfile
+sys.path.insert(0, {repo!r})
+from torspider_spark.session import get_spark
+from torspider_spark.config import CrawlConfig
+from torspider_spark.plans.crawl import CrawlJob
+from torspider_spark.sources.corpus import BENCH, build_corpus_spark
+
+cores = {cores}
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+corpus = {corpus!r}
+if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+    build_corpus_spark(spark, BENCH, corpus)
+cfg = CrawlConfig(host_budget_per_epoch={budget}, bloom_min_frontier=0,
+                  robots_ttl_epochs=1000, shuffle_partitions=cores)
+job = CrawlJob(spark, corpus, tempfile.mkdtemp(prefix="scaling_wh"), cfg)
+history = job.run(max_epochs={warmup})          # warm-up: grow the frontier
+t0 = time.time()
+measured = job.run(max_epochs={measure})        # measured epochs
+wall = time.time() - t0
+inserted = sum(h["inserted"] for h in measured)
+candidates = sum(h["candidates"] for h in measured)
+posted = sum(h["posted"] for h in measured)
+print("RESULT " + json.dumps({{
+    "cores": cores, "wall_sec": round(wall, 3),
+    "urls_discovered_deduped": inserted, "candidates": candidates,
+    "posted": posted,
+    "throughput": round(inserted / wall, 2),
+    "pages_per_sec": round(posted / wall, 2),
+    "per_epoch": [{{"epoch": h["epoch"], "sec": round(h["seconds"], 2),
+                    "candidates": h["candidates"],
+                    "inserted": h["inserted"]}} for h in measured],
+}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, corpus: str, budget: int, warmup: int,
+           measure: int) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, corpus=corpus, budget=budget,
+                         warmup=warmup, measure=measure)
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=3000)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run at {cores} cores failed:\n{proc.stdout[-2000:]}"
+                       f"\n{proc.stderr[-4000:]}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=2)
+    parser.add_argument("--budget", type=int, default=96)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--measure", type=int, default=3)
+    args = parser.parse_args()
+
+    corpus = os.path.join(tempfile.gettempdir(), "torspider_scaling_corpus")
+    small = run_at(args.n, corpus, args.budget, args.warmup, args.measure)
+    big = run_at(args.n * 4, corpus, args.budget, args.warmup, args.measure)
+    eff = (big["throughput"] / small["throughput"]) / 4 \
+        if small["throughput"] else 0.0
+
+    report = {
+        "n_cores": small, "four_n_cores": big,
+        "scaling_efficiency": round(eff, 3),
+        "protocol": f"local[{args.n}] vs local[{args.n * 4}], same corpus "
+                    f"snapshot, {args.warmup} warm-up + {args.measure} "
+                    f"measured epochs, host_budget={args.budget}",
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+    }
+    print(json.dumps(report, indent=1))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — crawl throughput at two parallelism levels",
+        "",
+        "North metric: URLs discovered+deduped per second of epoch wall time",
+        "(BASELINE.json). Sandbox protocol per BASELINE.md: same job, same",
+        "corpus snapshot, two local parallelism levels, fresh JVM each.",
+        "",
+        f"- corpus: BENCH spec (seeded, deterministic), protocol: "
+        f"{report['protocol']}",
+        "",
+        "| cores | measured epochs wall (s) | urls discovered+deduped | "
+        "throughput (urls/s) | pages scanned/s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in (small, big):
+        lines.append(
+            f"| local[{r['cores']}] | {r['wall_sec']} | "
+            f"{r['urls_discovered_deduped']} | {r['throughput']} | "
+            f"{r['pages_per_sec']} |")
+    lines += [
+        "",
+        f"**Scaling efficiency (N -> 4N): {report['scaling_efficiency']}**"
+        f" (target >= 0.8)",
+        "",
+        "Per-epoch detail:",
+        "```json",
+        json.dumps({"n": small["per_epoch"], "4n": big["per_epoch"]},
+                   indent=1),
+        "```",
+        "",
+        f"Generated {report['generated_at']} by jobs/scaling_bench.py.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

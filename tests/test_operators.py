@@ -94,6 +94,10 @@ def test_unseen_urls_with_bloom_identical(spark):
          for i in range(400, 900)], "url string, url_hash string")
     plain = sorted(r.url for r in
                    dedup.unseen_urls(new, frontier).select("url").collect())
+    semi = sorted(r.url for r in
+                  dedup.unseen_urls(new, frontier, strategy="semi_anti")
+                  .select("url").collect())
+    assert plain == semi
     with_bloom = sorted(
         r.url for r in dedup.unseen_urls(new, frontier, spark, bloom)
         .select("url").collect())

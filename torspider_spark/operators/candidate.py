@@ -59,14 +59,13 @@ def select_candidates(frontier: DataFrame, epoch: int,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
-def split_robots(candidates: DataFrame, robots_bc,
-                 cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
-    """2.J — split candidates into (allowed, blocked) under the broadcast
-    robots cache. Not in the reference (it fetches unconditionally); the
-    north_rule adds it. The robots.txt URLs themselves are always allowed.
-    """
+def flag_robots(candidates: DataFrame, robots_bc,
+                cfg: CrawlConfig) -> DataFrame:
+    """2.J — add an ``_allowed`` column under the broadcast robots cache.
+    Not in the reference (it fetches unconditionally); the north_rule adds
+    it. The robots.txt URLs themselves are always allowed."""
     if not cfg.robots_enabled or robots_bc is None:
-        return candidates, candidates.limit(0)
+        return candidates.withColumn("_allowed", F.lit(True))
 
     @F.pandas_udf(T.BooleanType())
     def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
@@ -85,11 +84,16 @@ def split_robots(candidates: DataFrame, robots_bc,
                     out.append(True)
         return pd.Series(out)
 
-    flagged = candidates.withColumn(
+    return candidates.withColumn(
         "_allowed", robots_allowed(F.col("host"), F.col("url")))
-    allowed = flagged.filter(F.col("_allowed")).drop("_allowed")
-    blocked = flagged.filter(~F.col("_allowed")).drop("_allowed")
-    return allowed, blocked
+
+
+def split_robots(candidates: DataFrame, robots_bc,
+                 cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) split — see flag_robots."""
+    flagged = flag_robots(candidates, robots_bc, cfg)
+    return (flagged.filter(F.col("_allowed")).drop("_allowed"),
+            flagged.filter(~F.col("_allowed")).drop("_allowed"))
 
 
 def build_robots_cache(spark, pages_meta: DataFrame, pages: DataFrame,

@@ -119,8 +119,19 @@ def bloom_maybe_seen_col(spark, bloom: UrlBloom):
 
 
 def unseen_urls(new_urls: DataFrame, frontier: DataFrame,
-                spark=None, bloom: UrlBloom | None = None) -> DataFrame:
+                spark=None, bloom: UrlBloom | None = None,
+                strategy: str = "auto") -> DataFrame:
     """Exact URL-seen check: rows of ``new_urls`` absent from ``frontier``.
+
+    strategy='auto' — one left_anti join; AQE broadcasts the frontier's key
+    column while it fits and falls back to a shuffle join beyond that
+    (which a bucketed frontier layout co-locates). One job, lowest latency.
+
+    strategy='semi_anti' — the 10^10-frontier shape: broadcast the epoch's
+    batch INTO the frontier scan (left_semi), then anti-join against the
+    tiny 'seen' set. The frontier is never shuffled and never broadcast,
+    at the cost of two broadcast barriers — wins only when the frontier
+    key column is too big to broadcast.
 
     ``new_urls`` should be persisted by the caller (it is probed twice).
     """
@@ -132,10 +143,15 @@ def unseen_urls(new_urls: DataFrame, frontier: DataFrame,
         definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         candidates = flagged.filter(F.col("_maybe")).drop("_maybe")
 
-    seen = frontier.join(
-        F.broadcast(candidates.select("url_hash")), "url_hash", "left_semi"
-    ).select("url_hash")
-    confirmed_new = candidates.join(F.broadcast(seen), "url_hash", "left_anti")
+    if strategy == "semi_anti":
+        seen = frontier.join(
+            F.broadcast(candidates.select("url_hash")), "url_hash",
+            "left_semi").select("url_hash")
+        confirmed_new = candidates.join(F.broadcast(seen), "url_hash",
+                                        "left_anti")
+    else:
+        confirmed_new = candidates.join(frontier.select("url_hash"),
+                                        "url_hash", "left_anti")
     if definitely_new is not None:
         return confirmed_new.unionByName(definitely_new)
     return confirmed_new

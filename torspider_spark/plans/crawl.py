@@ -93,14 +93,16 @@ class CrawlJob:
         frontier = self.wh.read("frontier")
 
         cands = candidate.select_candidates(frontier, epoch, cfg)
-        allowed, blocked = candidate.split_robots(cands, self._robots(epoch), cfg)
-        allowed = allowed.persist()
-        blocked = blocked.persist()
-        n_candidates = allowed.count()
-        n_blocked = blocked.count()
+        flagged = candidate.flag_robots(cands, self._robots(epoch),
+                                        cfg).persist()
+        counts = {bool(r["_allowed"]): r["count"]
+                  for r in flagged.groupBy("_allowed").count().collect()}
+        n_candidates = counts.get(True, 0)
+        n_blocked = counts.get(False, 0)
+        allowed = flagged.filter(F.col("_allowed")).drop("_allowed")
+        blocked = flagged.filter(~F.col("_allowed")).drop("_allowed")
         if n_candidates == 0 and n_blocked == 0:
-            allowed.unpersist()
-            blocked.unpersist()
+            flagged.unpersist()
             return {"epoch": epoch, "candidates": 0, "blocked": 0,
                     "posted": 0, "discovered": 0, "inserted": 0,
                     "seconds": time.time() - t0, "empty": True}
@@ -121,9 +123,17 @@ class CrawlJob:
         # E2: dedup discovered URLs against the frontier.
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
         inserts = dedup.unseen_urls(
-            discovered, frontier, self.spark, self._maybe_bloom(frontier))
+            discovered, frontier, self.spark, self._maybe_bloom(frontier),
+            strategy=cfg.dedup_strategy)
         inserts = inserts.persist()
-        n_inserted = inserts.count()
+        # One job yields both the per-bucket lineage and the insert total.
+        bucket_rows = (
+            inserts.groupBy(
+                F.pmod(F.xxhash64("url_hash"),
+                       F.lit(cfg.shuffle_partitions)).alias("b"))
+            .count().collect()
+        )
+        n_inserted = sum(int(r["count"]) for r in bucket_rows)
         if self._bloom is not None and n_inserted:
             # The bloom must remain a SUPERSET of frontier keys (false
             # negatives would skip the exact check and corrupt the URL-seen
@@ -149,9 +159,9 @@ class CrawlJob:
         }
         stats["urls_per_sec"] = (
             n_inserted / stats["seconds"] if stats["seconds"] > 0 else 0.0)
-        self._commit_metrics(epoch, stats, inserts)
+        self._commit_metrics(epoch, stats, bucket_rows)
 
-        for df in (allowed, blocked, internal, discovered, inserts):
+        for df in (flagged, internal, discovered, inserts):
             df.unpersist()
         return stats
 
@@ -168,25 +178,20 @@ class CrawlJob:
         return self._bloom
 
     def _commit_metrics(self, epoch: int, stats: dict,
-                        inserts: DataFrame) -> None:
-        """G6 — per-epoch counters + per-bucket insert lineage."""
+                        bucket_rows: list) -> None:
+        """G6 — per-epoch counters + per-bucket insert lineage.
+
+        The bucket rows are the deterministic lineage: logical bucket =
+        xxhash64(url_hash) mod shuffle partitions (what an Iceberg
+        bucket(url_hash) layout would record per data file)."""
         rows = [
             (epoch, -1, name, int(stats[name]))
             for name in ("candidates", "blocked", "posted", "discovered",
                          "inserted")
         ]
         rows.append((epoch, -1, "epoch_millis", int(stats["seconds"] * 1000)))
-        # Deterministic per-bucket lineage: logical bucket = xxhash64(url_hash)
-        # mod shuffle partitions (what an Iceberg bucket(url_hash) layout
-        # would record per data file).
-        buckets = (
-            inserts.groupBy(
-                F.pmod(F.xxhash64("url_hash"),
-                       F.lit(self.cfg.shuffle_partitions)).alias("b"))
-            .count().collect()
-        )
         rows.extend((epoch, int(r["b"]), "inserted_bucket_rows", int(r["count"]))
-                    for r in buckets)
+                    for r in bucket_rows)
         df = self.spark.createDataFrame(rows, schema=METRICS)
         self.wh.commit("metrics", df, epoch, mode="append")
 

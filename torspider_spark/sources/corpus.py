@@ -67,13 +67,16 @@ class CorpusSpec:
     p_form: float = 0.35
     p_cross_host: float = 0.25   # link goes to another host
     p_dead_link: float = 0.06    # link target has no meta row (conn error)
+    filler_words_min: int = 1    # body text volume (real pages are tens of
+    filler_words_max: int = 30   # KB — bench uses realistic weights)
 
 
 TINY = CorpusSpec()
 SMALL = CorpusSpec(n_hosts=200, pages_per_host=40, n_hot_hosts=4, n_seeds=20)
 BENCH = CorpusSpec(
     n_hosts=2000, pages_per_host=60, n_hot_hosts=6, hot_multiplier=80,
-    n_seeds=120, links_per_page=9,
+    n_seeds=120, links_per_page=25, p_dead_link=0.02,
+    filler_words_min=800, filler_words_max=2400,
 )
 
 
@@ -196,7 +199,10 @@ def _page_html(spec: CorpusSpec, host: str, host_idx: int, j: int,
         bits.append("<a>anchor without href</a>")
     if rng.random() < spec.p_form:
         bits.append(_form_html(rng, j))
-    bits.append(f"<p>content {host_idx}/{j} " + "filler " * rng.randrange(1, 30))
+    n_filler = rng.randrange(spec.filler_words_min, spec.filler_words_max + 1)
+    words = [f"w{rng.randrange(4096):x}" for _ in range(min(n_filler, 64))]
+    body_text = " ".join(words[i % len(words)] for i in range(n_filler))
+    bits.append(f"<p>content {host_idx}/{j} {body_text}")
     bits.append("</p></body></html>")
     return "".join(bits)
 
