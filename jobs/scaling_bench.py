@@ -76,9 +76,9 @@ def run_at(cores: int, corpus: str, budget: int, warmup: int,
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=2)
-    parser.add_argument("--budget", type=int, default=96)
+    parser.add_argument("--budget", type=int, default=192)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--measure", type=int, default=3)
+    parser.add_argument("--measure", type=int, default=2)
     args = parser.parse_args()
 
     corpus = os.path.join(tempfile.gettempdir(), "torspider_scaling_corpus")

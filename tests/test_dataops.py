@@ -86,6 +86,18 @@ def test_lsh_topk_subset_of_bruteforce_order(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+             .first()["embedding"]]
+    rows = similarity.ivf_topk(emb, query, k=5, n_centroids=8,
+                               n_probe=8).collect()
+    # probing all centroids == exact brute force
+    exact = similarity.brute_force_topk(emb, query, k=5).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in exact]
+    assert rows[0].vec_id == 3
+
+
 def test_cosine_near_duplicates(spark):
     emb = spark.createDataFrame(
         [

@@ -1,0 +1,93 @@
+"""Physical-plan shape assertions (SURVEY.md §4): pushdown, pruning,
+broadcast selection, codegen — the plans we designed for, not just plans
+that happen to pass."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.operators import candidate, pipeline
+from torspider_spark.plans.crawl import CrawlJob
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def crawl_setup(spark, corpus_dir, tmp_path_factory):
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(bloom_min_frontier=0)
+    job = CrawlJob(spark, corpus, str(tmp_path_factory.mktemp("whp")), cfg)
+    job.bootstrap()
+    job.run_epoch(1)  # produce a real parquet frontier snapshot
+    return job, cfg
+
+
+def test_eligibility_filter_pushed_to_parquet(crawl_setup):
+    """The frontier scan must push the state/epoch predicates into the
+    parquet reader (partition-level pruning at Iceberg scale)."""
+    job, cfg = crawl_setup
+    frontier = job.wh.read("frontier")
+    plan = _explain(candidate.eligible(frontier, 2, cfg))
+    assert "PushedFilters:" in plan
+    assert "state" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_header_branch_never_reads_body_columns(crawl_setup):
+    """HEAD-before-GET discipline (B6): the non-body branch's scans must not
+    include html/text in any ReadSchema."""
+    job, cfg = crawl_setup
+    frontier = job.wh.read("frontier")
+    cands = candidate.select_candidates(frontier, 2, cfg)
+    classified = pipeline.classify(cands, job.pages_meta)
+    plan = _explain(pipeline.scan_rest(classified))
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema_line = chunk.splitlines()[0]
+        assert "html" not in schema_line, schema_line
+    # while the body branch does read them (once)
+    body_plan = _explain(pipeline.scan_good_pages(classified, job.pages))
+    assert "html" in body_plan
+
+
+def test_fetch_join_goes_broadcast_under_aqe(crawl_setup):
+    """Per-epoch candidate sets are small vs the corpus: AQE must pick a
+    broadcast join for the fetch join at this scale."""
+    job, cfg = crawl_setup
+    frontier = job.wh.read("frontier")
+    cands = candidate.select_candidates(frontier, 2, cfg)
+    internal = pipeline.run_scan(cands, job.pages_meta, job.pages, cfg)
+    internal.collect()  # let AQE finalize
+    plan = _explain(internal)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_taxonomy_is_whole_stage_codegen(spark, crawl_setup):
+    """The status cascade must live inside WholeStageCodegen (no Python)."""
+    job, _ = crawl_setup
+    meta = job.pages_meta
+    from torspider_spark.functions import taxonomy as tax
+    classified = meta.withColumn(
+        "status_class", tax.status_class(F.col("status"), F.col("error_kind")))
+    agg = classified.groupBy("status_class").count()
+    agg.collect()  # finalize AQE so codegen stages are visible
+    plan = _explain(agg, "simple")
+    # codegen'd operators carry the '*(' star marker in the simple plan
+    assert "*(" in plan, plan
+
+
+def test_column_pruning_on_pages_scan(crawl_setup):
+    """Selecting only url from pages must prune html/text at the reader."""
+    job, _ = crawl_setup
+    plan = _explain(job.pages.select("url").filter(F.col("url").contains("p1")))
+    schema_line = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "html" not in schema_line and "text" not in schema_line

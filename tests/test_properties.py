@@ -1,0 +1,63 @@
+"""Property-based tests (SURVEY.md §5.3) — hypothesis over the pure core."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.oracle import ref_functions, ref_parsers
+from torspider_spark import weblib
+
+URL_ALPHABET = "abcdefgz0127./:?#&=%_-~ \t[]@!$'()*+,;"
+
+hrefs = st.text(alphabet=URL_ALPHABET, min_size=0, max_size=80)
+onion_hosts = st.sampled_from([
+    "aaaabbbbccccddddeeeeffffgggghhhhiiiijjjjkkkkllllmmmmnn.onion",
+    "zz.onion", "x.onion.gw", "www.example.com",
+])
+base_paths = st.sampled_from(["/", "/a/b.html", "/deep/er/page", ""])
+
+
+@settings(max_examples=300, deadline=None)
+@given(href=hrefs, host=onion_hosts, path=base_paths)
+def test_canonicalizer_idempotent(href, host, path):
+    base_url = f"http://{host}{path}"
+    base_netloc = weblib.host_of(base_url)
+    once = weblib.canonicalize_href(href, base_netloc)
+    if once is not None:
+        assert weblib.canonicalize_href(once, base_netloc) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(href=hrefs, host=onion_hosts, path=base_paths)
+def test_canonicalizer_matches_reference_loop(href, host, path):
+    """Every random href agrees with the reference get_links body."""
+    base_url = f"http://{host}{path}"
+    html = f'<a href="{href.replace(chr(34), "")}">x</a>'
+    ref = ref_parsers.get_links(html, base_url)
+    ours = weblib.extract_links(weblib.hrefs_of(html), base_url)
+    assert set(ours) == set(ref)
+
+
+@settings(max_examples=300, deadline=None)
+@given(loc=st.one_of(st.none(), hrefs), host=onion_hosts, path=base_paths)
+def test_merge_matches_reference(loc, host, path):
+    base_url = f"http://{host}{path}"
+    assert weblib.resolve_redirect(loc, base_url) == \
+        ref_functions.merge_urls(loc, base_url)
+
+
+@settings(max_examples=200, deadline=None)
+@given(items=st.lists(st.text(max_size=8), max_size=30))
+def test_distinct_sorted_is_set_equal_and_stable(items):
+    out = weblib.distinct_sorted(items)
+    assert set(out) == set(items)
+    assert out == sorted(set(items))
+
+
+@settings(max_examples=200, deadline=None)
+@given(url=hrefs)
+def test_scheme_fanout_always_onion(url):
+    for candidate in weblib.scheme_fanout(url):
+        assert weblib.is_onion_url(candidate)
+        assert candidate.startswith(("http://", "https://"))

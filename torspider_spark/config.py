@@ -41,6 +41,7 @@ class CrawlConfig:
     bloom_fpp: float = 0.03
     bloom_min_frontier: int = 100_000   # below this, skip bloom (anti-join only)
     dedup_strategy: str = "auto"        # 'auto' | 'semi_anti' (huge frontier)
+    merge_broadcast: bool = True        # broadcast epoch updates in E3 merge
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
 
     CONF_PREFIX = "spark.torfrontier."

@@ -89,10 +89,13 @@ def merge_scan_updates(frontier: DataFrame, internal_results: DataFrame,
     """E3 — apply one epoch's outcomes to the frontier (MERGE INTO on a real
     Iceberg deployment; expressed as update-join + union here).
 
-    The update side is one epoch's candidates (small); Catalyst/AQE
-    broadcast it against the big frontier, so the frontier itself is
-    neither shuffled nor sorted — each of its partitions streams through
-    a broadcast-hash join.
+    The update side is one epoch's candidates (small); with
+    ``merge_broadcast`` (default) it is broadcast against the big frontier,
+    so the frontier itself is neither shuffled nor sorted — each of its
+    partitions streams through a broadcast-hash join. When an epoch's
+    budget is too large to broadcast (extreme host counts), disable it and
+    let AQE pick a shuffle join, which a url_hash-bucketed frontier layout
+    co-locates on a real deployment.
     """
     updates = internal_results.select(
         "url_hash",
@@ -114,7 +117,8 @@ def merge_scan_updates(frontier: DataFrame, internal_results: DataFrame,
             F.lit(True).alias("u_blocked"),
         ))
 
-    joined = frontier.join(F.broadcast(updates), "url_hash", "left")
+    update_side = F.broadcast(updates) if cfg.merge_broadcast else updates
+    joined = frontier.join(update_side, "url_hash", "left")
     hit = F.col("u_scanned").isNotNull()
 
     new_tries = (

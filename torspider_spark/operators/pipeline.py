@@ -71,10 +71,30 @@ def _good_text_predicate():
     )
 
 
-def scan_good_pages(classified: DataFrame, pages: DataFrame) -> DataFrame:
-    """Body path: fetch bodies for the good/text slice, hash-gate, extract."""
+def scan_good_pages(classified: DataFrame, pages: DataFrame,
+                    broadcast_candidates: bool = True) -> DataFrame:
+    """Body path: fetch bodies for the good/text slice, hash-gate, extract.
+
+    Join shape matters enormously here: the page store is the 100 TB table,
+    so it must be STREAMED, never shuffled and never sorted. The epoch's
+    good slice (bounded by host_budget x hosts) is broadcast as the build
+    side of an inner join against the pages scan — each pages partition
+    filters itself map-side. A left join from candidates would instead make
+    Catalyst shuffle+sort the whole page store every epoch (observed: 60 s
+    per epoch on a 4.6 GB corpus — catastrophic at real scale).
+
+    Candidates whose body row is missing surface via a key-only anti-join
+    (reads just pages.url — column-pruned) and post the reference's
+    GET-connection-error result: online was already set True at HEAD time
+    (TorSpider.py:236-237), the handler posts the record as-is
+    (TorSpider.py:362-373). With ``broadcast_candidates=False`` both joins
+    fall back to AQE (bucketed-storage co-location on a real deployment).
+    """
     good = classified.filter(_good_text_predicate())
-    body = good.join(pages.select("url", "html", "text"), "url", "left")
+    build = F.broadcast(good) if broadcast_candidates else good
+    keyed = pages.select("url", "html", "text")
+    body = keyed.join(build, "url", "inner")
+    bodyless = good.join(keyed.select("url"), "url", "left_anti")
     body = body.withColumn("page_hash", F.sha1(F.col("html")))
     # B4 change gate — computed JVM-side BEFORE the Arrow UDF so unchanged
     # pages skip link/form work (the reference's single biggest CPU saver,
@@ -86,7 +106,7 @@ def scan_good_pages(classified: DataFrame, pages: DataFrame) -> DataFrame:
     )
     body = body.withColumn(
         "ext", extract_page(F.col("text"), F.col("url"), F.col("changed")))
-    return body.select(
+    scanned = body.select(
         "url", "url_hash", "host", "depth", "tries",
         F.lit(True).alias("online"),  # TorSpider.py:236-237
         F.lit(None).cast("string").alias("fault"),
@@ -106,6 +126,19 @@ def scan_good_pages(classified: DataFrame, pages: DataFrame) -> DataFrame:
         # retryable in the frontier.
         (~F.coalesce(F.col("ext.crashed"), F.lit(False))).alias("posted"),
     )
+    no_body = bodyless.select(
+        "url", "url_hash", "host", "depth", "tries",
+        F.lit(True).alias("online"),
+        F.lit(None).cast("string").alias("fault"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("new_hash"),
+        _empty_str_array().alias("new_urls"),
+        _empty_str_array().alias("form_dicts"),
+        F.lit(None).cast("string").alias("redirect"),
+        F.lit(False).alias("silent"),
+        F.lit(True).alias("posted"),
+    )
+    return scanned.unionByName(no_body)
 
 
 def scan_rest(classified: DataFrame) -> DataFrame:

@@ -144,3 +144,23 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, seed: int = 42,
         best = entry if best is None else F.greatest(best, entry)
     assigned = embeddings.withColumn("_centroid", best["cid"])
     return assigned, centroids
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF search: score the query against the centroid table (driver-side,
+    tiny), probe the ``n_probe`` nearest inverted lists, exact re-rank
+    inside. At scale the assignment is precomputed/bucketed storage; the
+    probe is a partition-pruned scan."""
+    assigned, centroids = ivf_assign(embeddings, n_centroids, seed,
+                                     vec_col, id_col)
+    qnorm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    scored = []
+    for ci, c in enumerate(centroids):
+        cnorm = math.sqrt(sum(v * v for v in c)) or 1.0
+        dot = sum(a * b for a, b in zip(query_vec, c))
+        scored.append((dot / (cnorm * qnorm), ci))
+    probe = [ci for _s, ci in sorted(scored, reverse=True)[:n_probe]]
+    probed = assigned.filter(F.col("_centroid").isin(probe))
+    return brute_force_topk(probed, query_vec, k, vec_col, id_col)

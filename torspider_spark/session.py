@@ -42,6 +42,9 @@ def get_spark(
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd trades (scalable) CPU for (serial) disk bandwidth on the
+        # per-epoch scan_results/frontier snapshot writes
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)

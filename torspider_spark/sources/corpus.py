@@ -74,9 +74,9 @@ class CorpusSpec:
 TINY = CorpusSpec()
 SMALL = CorpusSpec(n_hosts=200, pages_per_host=40, n_hot_hosts=4, n_seeds=20)
 BENCH = CorpusSpec(
-    n_hosts=2000, pages_per_host=60, n_hot_hosts=6, hot_multiplier=80,
-    n_seeds=120, links_per_page=25, p_dead_link=0.02,
-    filler_words_min=800, filler_words_max=2400,
+    n_hosts=2000, pages_per_host=200, n_hot_hosts=6, hot_multiplier=40,
+    n_seeds=120, links_per_page=80, p_form=0.9, p_dead_link=0.005,
+    filler_words_min=300, filler_words_max=900,
 )
 
 
@@ -125,7 +125,7 @@ def _link_flavors(rng: random.Random, spec: CorpusSpec, host: str,
         roll = rng.random()
         target_j = rng.randrange(n_pages)
         if rng.random() < spec.p_dead_link:
-            target_path = f"/ghost/p{rng.randrange(10_000)}.html"
+            target_path = f"/ghost/p{rng.randrange(100)}.html"
         else:
             target_path = _page_path(random.Random(
                 f"{spec.seed}:path:{host_idx}:{target_j}"), target_j)
@@ -335,14 +335,23 @@ def build_corpus_spark(spark, spec: CorpusSpec, out_dir: str,
     parallelism = parallelism or spark.sparkContext.defaultParallelism
     hosts_df = spark.range(spec.n_hosts).repartition(parallelism)
 
+    PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
+    META_COLS = ["url", "status", "content_type", "redirect_location",
+                 "error_kind"]
+    CHUNK = 2000  # rows per Arrow batch — keeps binary columns well under
+    #               Arrow's 2 GB per-array limit even for heavy pages
+
     def gen_pages(iterator):
         for pdf in iterator:
             rows = []
             for i in pdf["id"].tolist():
                 pages, _ = host_pages(spec, int(i))
                 rows.extend(pages)
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                while len(rows) >= CHUNK:
+                    yield pd.DataFrame(rows[:CHUNK], columns=PAGE_COLS)
+                    rows = rows[CHUNK:]
+            if rows:
+                yield pd.DataFrame(rows, columns=PAGE_COLS)
 
     def gen_meta(iterator):
         for pdf in iterator:
@@ -350,16 +359,23 @@ def build_corpus_spark(spark, spec: CorpusSpec, out_dir: str,
             for i in pdf["id"].tolist():
                 _, metas = host_pages(spec, int(i))
                 rows.extend(metas)
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "status", "content_type",
-                         "redirect_location", "error_kind"])
+                while len(rows) >= CHUNK:
+                    yield pd.DataFrame(rows[:CHUNK], columns=META_COLS)
+                    rows = rows[CHUNK:]
+            if rows:
+                yield pd.DataFrame(rows, columns=META_COLS)
 
     pages_df = hosts_df.mapInPandas(gen_pages, schema=PAGES)
     meta_df = (hosts_df.mapInPandas(gen_meta, schema=PAGES_META)
                .withColumn("status", F.col("status").cast("int")))
-    pages_df.write.mode("overwrite").parquet(os.path.join(out_dir, "pages.parquet"))
-    meta_df.write.mode("overwrite").parquet(os.path.join(out_dir, "pages_meta.parquet"))
+    # Hot hosts concentrate 50x-80x pages into their generator partition;
+    # rebalance BY ROW before writing so no data file becomes a straggler
+    # for every downstream scan (row set unchanged — layout only).
+    n_files = max(2 * parallelism, 64)
+    (pages_df.repartition(n_files, "url").write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "pages.parquet")))
+    (meta_df.repartition(n_files, "url").write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "pages_meta.parquet")))
     seeds = spark.createDataFrame(seed_rows(spec))
     seeds.write.mode("overwrite").parquet(os.path.join(out_dir, "seeds.parquet"))
     n_pages = spark.read.parquet(os.path.join(out_dir, "pages.parquet")).count()
