@@ -21,7 +21,7 @@ HEADLINE = [
     "dedup_exact", "doc_quality", "token_count", "fingerprint", "ann_cosine",
 ]
 
-CRAWL_EPOCHS = 3
+CRAWL_EPOCHS = 5
 
 
 def _run_noop(df) -> None:
@@ -50,7 +50,7 @@ def bench_crawl(spark, sf: float) -> dict:
     if not os.path.exists(os.path.join(corpus, "pages.parquet")):
         build_corpus_spark(spark, SMALL, corpus)
     work = tempfile.mkdtemp(prefix="torspider_bench_wh")
-    cfg = CrawlConfig(host_budget_per_epoch=8, bloom_min_frontier=0,
+    cfg = CrawlConfig(host_budget_per_epoch=64, bloom_min_frontier=0,
                       robots_ttl_epochs=100)
     job = CrawlJob(spark, corpus, work, cfg)
     t0 = time.time()

@@ -75,7 +75,7 @@ def run_at(cores: int, corpus: str, budget: int, warmup: int,
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=2)
+    parser.add_argument("--n", type=int, default=1)
     parser.add_argument("--budget", type=int, default=192)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--measure", type=int, default=2)

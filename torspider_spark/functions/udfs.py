@@ -107,6 +107,21 @@ def host_of_udf(url: pd.Series) -> pd.Series:
                      dtype="object")
 
 
+@F.pandas_udf(T.StringType())
+def merge_titles_udf(title1: pd.Series, title2: pd.Series) -> pd.Series:
+    """Order-preserving, duplicate-keeping token intersection of two titles
+    (C6; parity: merge_titles, functions.py:17-24). Used by the derived
+    onions rollup when consolidating titles across scans. Deliberately NOT
+    F.array_intersect — that dedups."""
+    from torspider_spark.weblib import merge_titles
+
+    out = [
+        None if a is None or b is None else merge_titles(a, b)
+        for a, b in zip(title1, title2)
+    ]
+    return pd.Series(out, dtype="object")
+
+
 def onion_url_filter(col):
     """Whole-string onion gate as a codegen'd column predicate
     (TorSpider.py:194-196,312-314): keeps URLs containing '.onion' but not

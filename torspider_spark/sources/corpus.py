@@ -372,9 +372,15 @@ def build_corpus_spark(spark, spec: CorpusSpec, out_dir: str,
     # rebalance BY ROW before writing so no data file becomes a straggler
     # for every downstream scan (row set unchanged — layout only).
     n_files = max(2 * parallelism, 64)
+    # Corpus stays snappy regardless of the session codec: it is re-read
+    # (and re-decompressed) every epoch in the same stage that feeds the
+    # Python extraction workers — cheap decompression keeps the JVM from
+    # starving them.
     (pages_df.repartition(n_files, "url").write.mode("overwrite")
+     .option("compression", "snappy")
      .parquet(os.path.join(out_dir, "pages.parquet")))
     (meta_df.repartition(n_files, "url").write.mode("overwrite")
+     .option("compression", "snappy")
      .parquet(os.path.join(out_dir, "pages_meta.parquet")))
     seeds = spark.createDataFrame(seed_rows(spec))
     seeds.write.mode("overwrite").parquet(os.path.join(out_dir, "seeds.parquet"))
