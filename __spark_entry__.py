@@ -210,6 +210,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = similarity.brute_force_topk(emb, query_vec, k=10)
         return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
+    def q_sessionize(spark, sf):  # lag + gap cumsum sessionization
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.col("ts").cast("timestamp").cast("long")
+        gap = F.when(
+            secs - F.lag(secs).over(w) > 1800, 1
+        ).otherwise(0)
+        sessions = (_t(spark, sf, "events")
+                    .withColumn("new_sess", gap)
+                    .withColumn("sess_id", F.sum("new_sess").over(w)))
+        return (sessions.groupBy("user_id")
+                .agg((F.max("sess_id") + 1).alias("n_sessions"),
+                     F.count("*").alias("n_events"))
+                .orderBy("user_id"))
+
+    def q_running_window(spark, sf):  # running aggregates per key
+        from pyspark.sql import Window
+        w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (_t(spark, sf, "events")
+                .filter(F.col("user_id") < 50)
+                .select("user_id", "event_id",
+                        F.round(F.sum("value").over(w), 4)
+                        .alias("running_value"),
+                        F.row_number().over(
+                            Window.partitionBy("user_id")
+                            .orderBy("ts", "event_id")).alias("rn")))
+
+    def q_rollup(spark, sf):  # GROUPING SETS / ROLLUP
+        return (_t(spark, sf, "lineitem")
+                .rollup("l_returnflag", "l_linestatus")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("total"))
+                .orderBy("l_returnflag", "l_linestatus"))
+
+    def q_pivot_counts(spark, sf):  # pivot (conditional aggregation)
+        return (_t(spark, sf, "orders")
+                .groupBy("o_orderpriority")
+                .pivot("o_orderstatus", ["O", "F", "P"])
+                .count()
+                .orderBy("o_orderpriority"))
+
+    def q_outer_join(spark, sf):  # full outer join + null-side aggregation
+        cust = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+        orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+        joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full")
+        side = (F.when(F.col("c_custkey").isNotNull()
+                       & F.col("o_orderkey").isNotNull(), "both")
+                .when(F.col("c_custkey").isNotNull(), "cust_only")
+                .otherwise("order_only"))
+        return (joined.select(side.alias("side"))
+                .groupBy("side").agg(F.count("*").alias("n"))
+                .orderBy("side"))
+
+    def q_percentiles(spark, sf):  # exact interpolated percentiles
+        return _t(spark, sf, "lineitem").agg(
+            F.round(F.percentile("l_quantity", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", 0.9), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("price_p99"),
+        )
+
+    def q_regexp_extract(spark, sf):  # regexp projection + group-by
+        last_word = F.regexp_extract(F.col("p_type"), r"(\w+)$", 1)
+        return (_t(spark, sf, "part")
+                .select(last_word.alias("type_tail"))
+                .groupBy("type_tail").agg(F.count("*").alias("n"))
+                .orderBy("type_tail"))
+
+    def q_set_except(spark, sf):  # EXCEPT DISTINCT (prune_exact family, D4)
+        ordered = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey")).distinct()
+        rich = _t(spark, sf, "customer").filter(
+            F.col("c_acctbal") > 5000).select(
+            F.col("c_custkey").alias("custkey")).distinct()
+        return ordered.exceptAll(rich).distinct().agg(
+            F.count("*").alias("n_modest_buyers"))
+
+    def q_scalar_subquery(spark, sf):  # correlated-scalar comparison
+        orders = _t(spark, sf, "orders")
+        orders.createOrReplaceTempView("_orders_v")
+        return spark.sql(
+            "SELECT count(*) AS n_above_avg FROM _orders_v "
+            "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_v)")
+
     # ---- crawl-engine queries (rows-only; verified by the pytest suites) ----
 
     def q_crawl_discoveries(spark, sf):
@@ -262,6 +346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "sessionize": q_sessionize,
+        "running_window": q_running_window,
+        "rollup": q_rollup,
+        "pivot_counts": q_pivot_counts,
+        "outer_join": q_outer_join,
+        "percentiles": q_percentiles,
+        "regexp_extract": q_regexp_extract,
+        "set_except": q_set_except,
+        "scalar_subquery": q_scalar_subquery,
         "crawl_discoveries": q_crawl_discoveries,
         "crawl_fault_taxonomy": q_crawl_fault_taxonomy,
         "crawl_links": q_crawl_links,
@@ -361,6 +454,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) "
             "AS cos_sim FROM embeddings, q "
             "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, ts, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+            "THEN 1 ELSE 0 END AS new_sess, event_id FROM events), "
+            "s AS (SELECT user_id, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess_id FROM g) "
+            "SELECT user_id, max(sess_id) + 1 AS n_sessions, "
+            "count(*) AS n_events FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "running_window": (
+            "SELECT user_id, event_id, "
+            "round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+            "AS running_value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rn FROM events WHERE user_id < 50"
+        ),
+        "rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "round(sum(l_extendedprice), 2) AS total FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "pivot_counts": (
+            "SELECT o_orderpriority, "
+            "sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS \"O\", "
+            "sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS \"F\", "
+            "sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS \"P\" "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "outer_join": (
+            "SELECT CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT "
+            "NULL THEN 'both' WHEN c_custkey IS NOT NULL THEN 'cust_only' "
+            "ELSE 'order_only' END AS side, count(*) AS n "
+            "FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c "
+            "FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > "
+            "300000) o ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1 ORDER BY side"
+        ),
+        "percentiles": (
+            "SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_quantity, 0.9), 4) AS p90, "
+            "round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99 "
+            "FROM lineitem"
+        ),
+        "regexp_extract": (
+            "SELECT regexp_extract(p_type, '(\\w+)$', 1) AS type_tail, "
+            "count(*) AS n FROM part GROUP BY 1 ORDER BY type_tail"
+        ),
+        "set_except": (
+            "SELECT count(*) AS n_modest_buyers FROM ("
+            "SELECT DISTINCT o_custkey AS custkey FROM orders "
+            "EXCEPT "
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_acctbal > 5000)"
+        ),
+        "scalar_subquery": (
+            "SELECT count(*) AS n_above_avg FROM orders "
+            "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
         ),
         # crawl_* queries: non-SQL-expressible (Arrow-UDF extraction engine);
         # rows-only checks — verified instead by tests/test_e2e_equality.py.
