@@ -87,6 +87,12 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark, sf)
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            scaling = json.load(fh)
     print(json.dumps({
         "metric": "headline_queries_plus_crawl_wall",
         "value": total,
@@ -94,6 +100,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "crawl": crawl,
+        "scaling": scaling,
         "cpus": int(cpus),
     }))
     sys.stdout.flush()

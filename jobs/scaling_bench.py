@@ -132,6 +132,12 @@ def main() -> None:
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump({"headline": {
+            "protocol": report["protocol"],
+            "n": small, "four_n": big,
+            "scaling_efficiency": report["scaling_efficiency"]},
+            "generated_at": report["generated_at"]}, fh, indent=1)
 
 
 if __name__ == "__main__":
