@@ -45,11 +45,28 @@ def _corpus_dir() -> str:
     return _CORPUS_CACHE["dir"]
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable conf hygiene for sessions we didn't build (the
+    driver's): sane shuffle width + AQE + UTC for tiny-scale crawl jobs."""
+    for key, val in (
+        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # static conf in this session — keep whatever it has
+
+
 def _crawl_results(spark: SparkSession, epochs: int = 2):
     """Run the engine for a couple of epochs on the tiny corpus (cached
     per-process) and return (scan_results, frontier)."""
     from torspider_spark.config import CrawlConfig
     from torspider_spark.plans.crawl import CrawlJob
+
+    _tune(spark)
 
     key = f"crawl{epochs}"
     if key not in _CORPUS_CACHE:
