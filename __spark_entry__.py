@@ -439,29 +439,34 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_name ORDER BY n_name"
         ),
         "dedup_exact": (
-            "SELECT count(*) AS n_groups, sum(n_docs) AS n_docs, "
-            "sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_redundant "
+            # CAST: DuckDB sum() yields HUGEINT; Spark's is BIGINT.
+            "SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) "
+            "AS BIGINT) AS n_redundant "
             "FROM (SELECT md5(text) AS h, count(*) AS n_docs FROM documents "
             "GROUP BY 1)"
         ),
         "doc_quality": (
             "SELECT lang, count(*) AS n_docs, "
             "round(avg(length(text)), 4) AS avg_chars, "
-            "round(avg(len(string_split(trim(lower(text)), ' '))), 4) "
+            # regexp split == Spark's F.split(text, r'\s+') (not ' '-split).
+            "round(avg(len(regexp_split_to_array(trim(lower(text)), '\\s+'))), 4) "
             "AS avg_tokens "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "token_count": (
-            "SELECT sum(n_tokens) AS total_tokens, "
-            "sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS total_bpe_est, "
+            # CAST: DuckDB sum() yields HUGEINT; Spark's is BIGINT.
+            "SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) "
+            "AS total_bpe_est, "
             "max(n_tokens) AS max_tokens FROM ("
-            "SELECT text, len(string_split(trim(lower(text)), ' ')) "
+            "SELECT text, len(regexp_split_to_array(trim(lower(text)), '\\s+')) "
             "AS n_tokens FROM documents)"
         ),
         "fingerprint": (
             "SELECT count(DISTINCT md5(normalized)) AS distinct_fingerprints, "
             "count(*) AS n_docs FROM (SELECT array_to_string("
-            "string_split(trim(lower(text)), ' '), ' ') AS normalized "
+            "regexp_split_to_array(trim(lower(text)), '\\s+'), ' ') AS normalized "
             "FROM documents)"
         ),
         "ann_cosine": (
@@ -480,7 +485,8 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT user_id, sum(new_sess) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS sess_id FROM g) "
-            "SELECT user_id, max(sess_id) + 1 AS n_sessions, "
+            # CAST: sess_id is a windowed sum() -> HUGEINT in DuckDB.
+            "SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM s GROUP BY user_id ORDER BY user_id"
         ),
         "running_window": (
@@ -498,10 +504,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_returnflag, l_linestatus"
         ),
         "pivot_counts": (
+            # CAST: DuckDB sum() yields HUGEINT; Spark pivot-count is BIGINT.
             "SELECT o_orderpriority, "
-            "sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS \"O\", "
-            "sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS \"F\", "
-            "sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS \"P\" "
+            "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS \"O\", "
+            "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS \"F\", "
+            "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS \"P\" "
             "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "outer_join": (

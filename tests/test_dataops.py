@@ -161,3 +161,61 @@ def test_multimodal_plumbing(spark):
     assert frames and all(r.frame_idx >= 0 for r in frames)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_features(media, use_real_codec=True)
+
+
+def test_language_id_full_code_tiebreak(spark):
+    """Equal stopword hits across languages resolve to the alphabetically
+    first FULL language code (ADVICE r1: first-char tie-break picked 'es'
+    over 'en')."""
+    from torspider_spark.operators.quality import language_id
+
+    # Exactly one stopword hit for 'en' ("the") and one for 'es' ("por").
+    df = spark.createDataFrame([(1, "the por zzz",)], "doc_id long, text string")
+    row = language_id(df).collect()[0]
+    assert row["detected_lang"] == "en"
+
+
+def test_lsh_candidate_pairs_empty_input(spark):
+    """Empty signature input returns an empty pair frame, no first() crash
+    (ADVICE r1)."""
+    from torspider_spark.operators import textdedup
+
+    sigs = spark.createDataFrame([], "doc_id long, sig array<long>")
+    assert textdedup.lsh_candidate_pairs(sigs, bands=4).count() == 0
+
+
+def test_lsh_mega_bucket_salted_join(spark):
+    """Identical docs far beyond max_bucket must complete via the salted
+    pairwise join (no single O(n^2) collect_list row) and return exactly
+    C(n,2) pairs."""
+    from torspider_spark.operators import textdedup
+
+    n = 600
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text shared by every document") for i in range(n)],
+        "doc_id long, text string")
+    sigs = textdedup.minhash_signatures(docs, num_hashes=8)
+    pairs = textdedup.lsh_candidate_pairs(sigs, bands=2, num_hashes=8,
+                                          max_bucket=50)
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_lsh_mixed_buckets_match_unsalted_path(spark):
+    """Small-bucket in-row expansion and the mega-bucket join must agree:
+    forcing everything down the join path yields the same pair set."""
+    from torspider_spark.operators import textdedup
+
+    texts = (
+        [(i, "alpha beta gamma delta epsilon shared") for i in range(40)]
+        + [(100 + i, f"unique document number {i} with words {i * 7}")
+           for i in range(20)]
+    )
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = textdedup.minhash_signatures(docs, num_hashes=8).persist()
+    inrow = textdedup.lsh_candidate_pairs(sigs, bands=2, num_hashes=8,
+                                          max_bucket=10_000)
+    salted = textdedup.lsh_candidate_pairs(sigs, bands=2, num_hashes=8,
+                                           max_bucket=1)
+    assert sorted(map(tuple, inrow.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    sigs.unpersist()

@@ -140,3 +140,28 @@ def test_crawl_resume_equals_uninterrupted(spark, corpus_dir,
     ra = {(r.url, r.epoch, r.fault, r.hash) for r in solid.results().collect()}
     rb = {(r.url, r.epoch, r.fault, r.hash) for r in resumed.results().collect()}
     assert ra == rb
+
+
+def test_frontier_host_key_matches_urlsplit_netloc(spark):
+    """Host partition key must equal the simulator/reference urlsplit netloc
+    even for URLs with ports or userinfo (parse_url would strip them) and
+    must never be null (ADVICE r1)."""
+    from torspider_spark.operators import frontier as fr
+    from torspider_spark.weblib import host_of
+
+    urls = [
+        "http://plainhost.onion/page",
+        "http://host.onion:8080/page",
+        "http://user:pw@auth.onion/x",
+        "http://user@host.onion:443/",
+        "notaurl",
+    ]
+    df = spark.createDataFrame(
+        [(u, 0, 0) for u in urls], "url string, depth int, priority int")
+    got = {r["url"]: r["host"]
+           for r in fr.bootstrap(spark, df, __import__(
+               "torspider_spark.config", fromlist=["CrawlConfig"])
+               .CrawlConfig()).collect()}
+    for u in urls:
+        assert got[u] == host_of(u), u
+        assert got[u] is not None

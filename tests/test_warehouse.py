@@ -57,3 +57,48 @@ def test_expire_snapshots(spark, wh, tmp_path):
     assert [r.x for r in wh.read("t").collect()] == [5]
     dirs = [d for d in os.listdir(tmp_path / "wh" / "t") if d.startswith("snap-")]
     assert len(dirs) == 2
+
+
+def test_aborted_write_dir_is_cleaned_on_recommit(spark, wh, tmp_path):
+    """A crash between the parquet write and the manifest publish leaves an
+    unreferenced snap dir; re-running the epoch must succeed, not collide."""
+    import os
+
+    wh.commit("t", _df(spark, [1]), epoch=1)
+    # Simulate the aborted write: the dir the NEXT commit will pick exists
+    # on disk but is referenced by no snapshot.
+    aborted = tmp_path / "wh" / "t" / "snap-000002-0001"
+    os.makedirs(aborted / "leftover")
+    wh.commit("t", _df(spark, [2]), epoch=2)  # must not raise
+    assert [r.x for r in wh.read("t").collect()] == [2]
+
+
+def test_commit_after_rollback_reuses_seq_dirs(spark, wh):
+    """rollback truncates the snapshot list; the next commit reuses sequence
+    numbers whose (now unreferenced) dirs still exist on disk."""
+    wh.commit("t", _df(spark, [1]), epoch=1)
+    wh.commit("t", _df(spark, [2]), epoch=2)
+    wh.commit("t", _df(spark, [3]), epoch=3)
+    wh.rollback("t", 1)
+    wh.commit("t", _df(spark, [22]), epoch=2)  # seq 1 dir exists on disk
+    wh.commit("t", _df(spark, [33]), epoch=3)  # seq 2 dir exists on disk
+    assert [r.x for r in wh.read("t").collect()] == [33]
+
+
+def test_referenced_dir_collision_raises(spark, wh):
+    """A name collision with a manifest-referenced dir is corruption and
+    must refuse rather than silently delete published data."""
+    import json
+
+    wh.commit("t", _df(spark, [1]), epoch=1)
+    # Corrupt the manifest: pretend the next seq's dir is already published.
+    path = wh._manifest_path("t")
+    with open(path) as fh:
+        m = json.load(fh)
+    m["snapshots"][0]["dirs"].append("snap-000002-0001")
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+    import os
+    os.makedirs(wh._table_dir("t") + "/snap-000002-0001", exist_ok=True)
+    with pytest.raises(RuntimeError, match="manifest corruption"):
+        wh.commit("t", _df(spark, [2]), epoch=2)

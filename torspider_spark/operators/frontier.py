@@ -31,10 +31,19 @@ from torspider_spark.config import CrawlConfig
 
 def _with_key_cols(df: DataFrame) -> DataFrame:
     """url_hash (sha1 of utf-8 url — F.sha1 on a string column hashes its
-    UTF-8 bytes, same value as weblib.url_sha1) + host partition key."""
+    UTF-8 bytes, same value as weblib.url_sha1) + host partition key.
+
+    Host is the exact urlsplit netloc (host_of_udf), NOT F.parse_url(url,
+    'HOST'): parse_url strips ports/userinfo and NULLs malformed URLs, which
+    would silently diverge politeness grouping from the simulator/reference
+    and violate the non-null host invariant. The UDF is Arrow-batched and
+    this path already crosses into Python for extraction, so the parity is
+    free."""
+    from torspider_spark.functions.udfs import host_of_udf
+
     return (
         df.withColumn("url_hash", F.sha1(F.col("url")))
-        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("host", F.coalesce(host_of_udf(F.col("url")), F.lit("")))
     )
 
 

@@ -85,14 +85,15 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
 
     best = None
-    for lang in sorted(STOPWORDS):
+    # Reverse-sorted fold with >=: a later (alphabetically smaller) language
+    # replaces the incumbent on equal hits, so ties resolve to the
+    # alphabetically first language — on the FULL code, not just its first
+    # character.
+    for lang in sorted(STOPWORDS, reverse=True):
         hits = profile_hits(F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
-        # struct comparison: (hits, inverted-lang) so higher hits win and
-        # ties resolve to the alphabetically first language.
-        entry = F.struct(hits.alias("hits"),
-                         F.lit(-ord(lang[0])).alias("tie"),
-                         F.lit(lang).alias("lang"))
-        best = entry if best is None else F.greatest(best, entry)
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        best = entry if best is None else (
+            F.when(hits >= best["hits"], entry).otherwise(best))
     detected = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     return docs.withColumn("detected_lang", detected)
 

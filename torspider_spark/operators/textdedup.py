@@ -21,7 +21,7 @@ table but parameterized on columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,13 +71,35 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        num_hashes: int | None = None,
+                        max_bucket: int = 256,
+                        pair_salt_buckets: int = 16) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
     Shuffles only (band_id, band_hash, doc_id); the self-join happens inside
-    buckets (groupBy + pairwise expansion), so no full cross join ever forms.
+    buckets, so no full cross join ever forms. Two expansion regimes:
+
+    * buckets with <= ``max_bucket`` members: in-row pairwise expansion of
+      the collected bucket (one task, bounded memory);
+    * mega-buckets (boilerplate/empty docs that share a band hash by the
+      millions at 100-TB scale): a salted pairwise self-join — the left side
+      carries salt = xxhash64(doc_id) mod S, the right side is replicated
+      across all S salt lanes, and the join key is (band_id, band_hash,
+      salt). Each bucket's O(n^2) pair space is split across S tasks instead
+      of one O(n^2) straggler row / collect_list OOM.
+
+    ``num_hashes`` should be passed by callers that know it
+    (minhash_near_duplicates does); the ``first()``-based inference is a
+    guarded fallback only — it costs an extra Spark job and cannot see an
+    empty input.
     """
-    num_hashes = len(signatures.select("sig").first()["sig"])
+    if num_hashes is None:
+        row = signatures.select("sig").first()
+        if row is None:  # empty input: no pairs, preserve the schema
+            return (signatures.select(F.col("doc_id").alias("a"))
+                    .withColumn("b", F.col("a")).filter(F.lit(False)))
+        num_hashes = len(row["sig"])
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
@@ -90,9 +112,17 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
             for b in range(bands)
         ])).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
-    grouped = banded.groupBy("band_id", "band_hash").agg(
+
+    # Bucket sizes first (cheap count agg) so mega-buckets never reach
+    # collect_list. One shuffle on (band_id, band_hash) shared by both paths.
+    sized = banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band_id", "band_hash")))
+    small = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    big = sized.filter(F.col("_n") > max_bucket).drop("_n")
+
+    grouped = small.groupBy("band_id", "band_hash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("bucket"))
-    pairs = grouped.filter(F.size("bucket") > 1).select(
+    small_pairs = grouped.filter(F.size("bucket") > 1).select(
         F.explode(
             F.flatten(F.transform(
                 F.col("bucket"),
@@ -103,8 +133,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
                 ),
             ))
         ).alias("p")
-    ).select("p.a", "p.b").distinct()
-    return pairs
+    ).select("p.a", "p.b")
+
+    s = pair_salt_buckets
+    left = big.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(s)))
+    right = big.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+    big_pairs = (
+        left.alias("x")
+        .join(right.alias("y"), ["band_id", "band_hash", "_salt"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
@@ -113,7 +154,7 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                             threshold: float = 0.7) -> DataFrame:
     """Near-duplicate pairs with estimated jaccard >= threshold."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, bands)
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     joined = pairs.join(a, "a").join(b, "b")

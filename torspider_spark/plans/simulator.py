@@ -156,6 +156,12 @@ class CrawlSimulator:
             res.fault = f"type: {ctype}"
             return res
 
+        if rec.url not in self.pages:
+            # Body row absent for a good-status URL: mirror the engine's
+            # bodyless anti-join path (online=True, no fault, nothing
+            # extracted) — the reference's GET-connection-error shape
+            # (TorSpider.py:362-373).
+            return res
         html, text = self.pages[rec.url]
         page_hash = sha1_hex(html)
         changed = rec.last_hash != page_hash

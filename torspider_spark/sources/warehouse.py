@@ -100,6 +100,22 @@ class Warehouse:
         seq = len(m["snapshots"])
         data_dir = f"snap-{epoch:06d}-{seq:04d}"
         out_path = os.path.join(tdir, data_dir)
+        if os.path.exists(out_path):
+            # A dir with this name that the manifest does not reference is by
+            # construction an aborted write (crash mid-epoch) or a leftover
+            # from a rollback that truncated the snapshot list: sequence
+            # numbers only advance at the atomic manifest publish. Remove it
+            # so the documented 'a died epoch can simply be re-run' guarantee
+            # holds; a *referenced* dir colliding would be manifest
+            # corruption, so refuse loudly rather than overwrite.
+            referenced = set(m["current_dirs"])
+            for snap in m["snapshots"]:
+                referenced.update(snap["dirs"])
+            if data_dir in referenced:
+                raise RuntimeError(
+                    f"manifest corruption: next snapshot dir {data_dir} is "
+                    f"already referenced by table {name}")
+            shutil.rmtree(out_path)
         df.write.mode("error").parquet(out_path)
 
         epoch_key = str(epoch)
