@@ -2,11 +2,13 @@
 
 `entry(spark)` runs the flagship crawl query; `queries()` exposes one entry
 per implemented operator family from SURVEY.md §2 plus the training-data
-ops; `oracle_sql()` gives the DuckDB-equivalent SQL for every
-SQL-expressible query (same column names/aliases both sides). Crawl-engine
-queries run over a deterministic synthetic corpus generated on first use
-(seed-fixed; FIXTURES.md) and are rows-only checks — their real
-verification is the byte-equality + simulator-equality pytest suite.
+ops; `oracle_sql()` gives DuckDB SQL for EVERY query (same column
+names/aliases both sides). Crawl-engine queries run over a deterministic
+synthetic corpus generated on first use (seed-fixed; FIXTURES.md); their
+oracles are DuckDB over simulator-generated expected parquet
+(plans/expected.py — an independent single-threaded implementation plus a
+from-spec pure-Python minhash), additionally backed by the byte-equality +
+simulator-equality pytest suite.
 """
 
 from __future__ import annotations
@@ -43,6 +45,18 @@ def _corpus_dir() -> str:
             build_corpus_local(TINY, out)
         _CORPUS_CACHE["dir"] = out
     return _CORPUS_CACHE["dir"]
+
+
+def _expected_dir() -> str:
+    """Simulator-generated expected parquet for the crawl oracle queries
+    (plans/expected.py — independent implementations; idempotent)."""
+    from torspider_spark.plans.expected import write_expected
+
+    if "expected" not in _CORPUS_CACHE:
+        out = os.path.join(tempfile.gettempdir(), "torspider_entry_expected")
+        write_expected(_corpus_dir(), out, epochs=2)
+        _CORPUS_CACHE["expected"] = out
+    return _CORPUS_CACHE["expected"]
 
 
 def _tune(spark: SparkSession) -> None:
@@ -311,7 +325,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "SELECT count(*) AS n_above_avg FROM _orders_v "
             "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_v)")
 
-    # ---- crawl-engine queries (rows-only; verified by the pytest suites) ----
+    def q_dedup_exact_dups(spark, sf):  # dedup over data WITH duplicates
+        # The sf documents tables contain (nearly) no duplicate texts, so a
+        # dedup oracle over them proves nothing. Derive a dup-injected table
+        # deterministically (every 10th doc re-appears under a shifted id)
+        # and show non-trivial redundancy removal end-to-end.
+        docs = _t(spark, sf, "documents")
+        injected = docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+        groups = textdedup.exact_duplicates(injected)
+        kept = textdedup.drop_exact_duplicates(injected)
+        return groups.agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1)
+                  .otherwise(0)).alias("n_redundant"),
+        ).crossJoin(kept.agg(F.count("*").alias("n_kept")))
+
+    # ---- crawl-engine queries -------------------------------------------
+    # Oracles: simulator-generated expected parquet (plans/expected.py) —
+    # an independent single-threaded implementation of the same semantics,
+    # read by DuckDB. Non-circular: the engine never touches those files.
 
     def q_crawl_discoveries(spark, sf):
         return entry(spark)
@@ -335,7 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gathered = st.gather_stats(frontier, results)
         return spark.createDataFrame(
             [(k, float(v)) for k, v in sorted(gathered.items())],
-            "stat string, value double")
+            "stat string, value double").orderBy("stat")
 
     def q_crawl_minhash_dedup(spark, sf):  # minhash over crawl page text
         pages = spark.read.parquet(
@@ -343,7 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = textdedup.minhash_signatures(
             pages.select(F.xxhash64("url").alias("doc_id"), "text"),
             num_hashes=16)
-        pairs = textdedup.lsh_candidate_pairs(sigs, bands=4)
+        pairs = textdedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         return pairs.agg(F.count("*").alias("n_candidate_pairs"))
 
     return {
@@ -372,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_extract": q_regexp_extract,
         "set_except": q_set_except,
         "scalar_subquery": q_scalar_subquery,
+        "dedup_exact_dups": q_dedup_exact_dups,
         "crawl_discoveries": q_crawl_discoveries,
         "crawl_fault_taxonomy": q_crawl_fault_taxonomy,
         "crawl_links": q_crawl_links,
@@ -541,6 +576,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_above_avg FROM orders "
             "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
         ),
-        # crawl_* queries: non-SQL-expressible (Arrow-UDF extraction engine);
-        # rows-only checks — verified instead by tests/test_e2e_equality.py.
+        "dedup_exact_dups": (
+            "WITH injected AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "grp AS (SELECT md5(text) AS h, count(*) AS n_docs, "
+            "min(doc_id) AS keeper_id FROM injected GROUP BY 1) "
+            "SELECT count(*) AS n_groups, "
+            "CAST(sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) "
+            "AS BIGINT) AS n_redundant, "
+            "(SELECT count(*) FROM injected "
+            "WHERE doc_id IN (SELECT keeper_id FROM grp)) AS n_kept "
+            "FROM grp"
+        ),
+        # crawl_* oracles: DuckDB over simulator-generated expected parquet
+        # (plans/expected.py) — independent implementations of the same
+        # semantics; additionally verified by tests/test_e2e_equality.py.
+        "crawl_discoveries": (
+            f"SELECT host, count(*) AS discovered_urls, "
+            f"min(depth) AS min_depth "
+            f"FROM read_parquet('{_expected_dir()}/frontier_sim.parquet') "
+            f"WHERE added_epoch > 0 GROUP BY host "
+            f"ORDER BY discovered_urls DESC, host"
+        ),
+        "crawl_fault_taxonomy": (
+            f"SELECT fault, count(*) AS n "
+            f"FROM read_parquet('{_expected_dir()}/results_sim.parquet') "
+            f"GROUP BY fault ORDER BY n DESC, fault ASC NULLS FIRST"
+        ),
+        "crawl_links": (
+            f"SELECT epoch, count(*) AS n_links, "
+            f"count(DISTINCT dst) AS n_unique_targets "
+            f"FROM read_parquet('{_expected_dir()}/links_sim.parquet') "
+            f"GROUP BY epoch ORDER BY epoch"
+        ),
+        "crawl_stats": (
+            f"SELECT stat, value "
+            f"FROM read_parquet('{_expected_dir()}/stats_sim.parquet') "
+            f"ORDER BY stat"
+        ),
+        "crawl_minhash_dedup": (
+            f"SELECT n_candidate_pairs "
+            f"FROM read_parquet('{_expected_dir()}/minhash_sim.parquet')"
+        ),
     }

@@ -219,3 +219,46 @@ def test_lsh_mixed_buckets_match_unsalted_path(spark):
     assert sorted(map(tuple, inrow.collect())) == \
         sorted(map(tuple, salted.collect()))
     sigs.unpersist()
+
+
+def test_xxh64_matches_spark(spark):
+    """Pure-Python xxh64 (the minhash oracle's hash) must equal F.xxhash64
+    on every column-type path the engine uses: string, chained int seed,
+    chained longs."""
+    from pyspark.sql import functions as F
+
+    from torspider_spark.weblib.xxh64 import I32, spark_xxhash64
+
+    vals = ["", "a", "hello world", "ünïcode ⚡ text", "x" * 100,
+            "tail4", "exactly 32 bytes of input....yes"]
+    cols = []
+    for i, v in enumerate(vals):
+        cols.append(F.xxhash64(F.lit(v)).alias(f"s{i}"))
+        cols.append(F.xxhash64(F.lit(i), F.lit(v)).alias(f"i{i}"))
+    cols.append(F.xxhash64(F.lit(12345).cast("long"),
+                           F.lit(-99).cast("long")).alias("ll"))
+    row = spark.range(1).select(*cols).collect()[0]
+    for i, v in enumerate(vals):
+        assert row[f"s{i}"] == spark_xxhash64(v)
+        assert row[f"i{i}"] == spark_xxhash64(I32(i), v)
+    assert row["ll"] == spark_xxhash64(12345, -99)
+
+
+def test_minhash_families_are_independent(spark):
+    """Regression: F.transform treats a 2-arg lambda as (element, index) —
+    the family seed must not be overwritten (all signature entries equal
+    would collapse LSH to a single hash family)."""
+    from torspider_spark.operators import textdedup
+    from torspider_spark.weblib.xxh64 import I32, spark_xxhash64
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")],
+        "doc_id long, text string")
+    sig = textdedup.minhash_signatures(docs, num_hashes=6).collect()[0]["sig"]
+    assert len(set(sig)) > 1, "all hash families identical"
+    # and each family must equal the independent pure-Python reference
+    words = "one two three four five six seven".split()
+    shingles = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
+    expected = [min(spark_xxhash64(I32(i), s) for s in shingles)
+                for i in range(6)]
+    assert list(sig) == expected

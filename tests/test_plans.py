@@ -91,3 +91,33 @@ def test_column_pruning_on_pages_scan(crawl_setup):
     plan = _explain(job.pages.select("url").filter(F.col("url").contains("p1")))
     schema_line = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "html" not in schema_line and "text" not in schema_line
+
+
+def test_frontier_commits_touch_only_updated_buckets(spark, corpus_dir,
+                                                     tmp_path):
+    """Bucketed MERGE: an epoch's frontier commit rewrites only buckets
+    holding that epoch's updates; untouched buckets keep their dir pointers
+    (epoch I/O ~ touched rows, not frontier size)."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans.crawl import CrawlJob
+
+    cfg = CrawlConfig(bloom_min_frontier=0, frontier_buckets=64)
+    job = CrawlJob(spark, corpus_dir[0], str(tmp_path / "wh"), cfg)
+    job.run(max_epochs=3)
+    m = job.wh.manifest("frontier")
+    snaps = [s for s in m["snapshots"] if s["epoch"] >= 2]
+    assert snaps, "expected at least one post-growth epoch"
+    for snap in snaps:
+        meta = snap["meta"]
+        # updates touch at most one bucket per updated row
+        assert meta["rewritten_buckets"] <= max(
+            meta["candidates"] + 8, 1), meta
+    # at least one bucket pointer must survive across the last two epochs
+    s_prev, s_last = m["snapshots"][-2], m["snapshots"][-1]
+    shared = [
+        b for b in s_prev["buckets"]
+        if b in s_last["buckets"]
+        and s_prev["buckets"][b] and s_last["buckets"][b]
+        and s_prev["buckets"][b][0] == s_last["buckets"][b][0]
+    ]
+    assert shared, "every bucket was rewritten every epoch"

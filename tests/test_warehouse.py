@@ -102,3 +102,71 @@ def test_referenced_dir_collision_raises(spark, wh):
     os.makedirs(wh._table_dir("t") + "/snap-000002-0001", exist_ok=True)
     with pytest.raises(RuntimeError, match="manifest corruption"):
         wh.commit("t", _df(spark, [2]), epoch=2)
+
+
+# -- bucketed tables (frontier MERGE INTO analogue) ---------------------------
+
+def _bdf(spark, rows):
+    """rows: list of (x, bucket)."""
+    return spark.createDataFrame(rows, "x int, _bucket int")
+
+
+def test_bucketed_rewrite_touches_only_named_buckets(spark, wh):
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0), (2, 1), (3, 2)]))
+    m0 = wh.manifest("f")
+    wh.commit_bucketed("f", 1, rewrite=_bdf(spark, [(20, 1)]))
+    m1 = wh.manifest("f")
+    # bucket 1 replaced; buckets 0 and 2 keep their original dir pointers
+    assert m1["buckets"]["0"] == m0["buckets"]["0"]
+    assert m1["buckets"]["2"] == m0["buckets"]["2"]
+    assert m1["buckets"]["1"] != m0["buckets"]["1"]
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [1, 3, 20]
+
+
+def test_bucketed_append_adds_delta_dirs(spark, wh):
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0)]))
+    wh.commit_bucketed("f", 1, append=_bdf(spark, [(2, 0), (3, 1)]))
+    m = wh.manifest("f")
+    assert len(m["buckets"]["0"]) == 2  # base + delta
+    assert len(m["buckets"]["1"]) == 1  # delta only (new bucket)
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [1, 2, 3]
+    # plain read() also sees the union (derived-table consumers)
+    assert sorted(r.x for r in wh.read("f").collect()) == [1, 2, 3]
+
+
+def test_bucketed_bucket_pruning(spark, wh):
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0), (2, 1), (3, 2)]))
+    assert sorted(r.x for r in wh.read_buckets("f", [0, 2]).collect()) == [1, 3]
+    assert wh.read_buckets("f", [7]).count() == 0  # empty selection, schema kept
+
+
+def test_bucketed_rewrite_plus_append_same_epoch(spark, wh):
+    """The crawl epoch shape: merge-rewrite touched buckets AND append
+    inserts, one atomic snapshot."""
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0), (2, 1)]))
+    wh.commit_bucketed("f", 1, rewrite=_bdf(spark, [(10, 0)]),
+                       append=_bdf(spark, [(5, 0), (6, 2)]))
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [2, 5, 6, 10]
+    m = wh.manifest("f")
+    assert len(m["buckets"]["0"]) == 2  # rewritten base + this epoch's delta
+
+
+def test_bucketed_rollback(spark, wh):
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0)]))
+    wh.commit_bucketed("f", 1, append=_bdf(spark, [(2, 0)]))
+    wh.commit_bucketed("f", 2, rewrite=_bdf(spark, [(9, 0)]))
+    wh.rollback("f", 1)
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [1, 2]
+    # re-running epoch 2 after rollback must succeed (dir-name reuse)
+    wh.commit_bucketed("f", 2, rewrite=_bdf(spark, [(8, 0)]))
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [8]
+
+
+def test_bucketed_expire_keeps_live_dirs(spark, wh, tmp_path):
+    import os
+
+    for e in range(4):
+        wh.commit_bucketed("f", e, append=_bdf(spark, [(e, e % 2)]))
+    wh.expire_snapshots("f", keep_last=1)
+    # every still-referenced delta dir must survive expiry
+    assert sorted(r.x for r in wh.read_buckets("f").collect()) == [0, 1, 2, 3]

@@ -42,6 +42,12 @@ class CrawlConfig:
     bloom_min_frontier: int = 100_000   # below this, skip bloom (anti-join only)
     dedup_strategy: str = "auto"        # 'auto' | 'semi_anti' (huge frontier)
     merge_broadcast: bool = True        # broadcast epoch updates in E3 merge
+    # Frontier storage: hash buckets (Iceberg bucket(url_hash) analogue).
+    # Epoch commits rewrite only buckets containing updates and append
+    # insert deltas — size B so a bucket ~ one data file at the design
+    # point (10^10 rows => B ~ 64k of ~150k rows); 64 fits the test scale.
+    frontier_buckets: int = 64
+    compact_max_dirs: int = 8           # fold buckets with >= this many dirs
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
 
     CONF_PREFIX = "spark.torfrontier."

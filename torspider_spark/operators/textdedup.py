@@ -62,10 +62,20 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     The per-document min over shingles happens inside a single projection
     (transform + array_min over the shingle array) — zero explode, zero
     shuffle for the signature stage.
+
+    NB the hash-family closure is built by a helper, NOT ``lambda s, i=i``:
+    F.transform treats a two-parameter lambda as (element, index) and would
+    overwrite the family seed with the shingle's array index, collapsing
+    all ``num_hashes`` families into one (caught by the pure-Python xxh64
+    oracle in plans/expected.py).
     """
+
+    def _family(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     shingles = word_shingles(text_col, shingle_n)
     sig = F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        F.array_min(F.transform(shingles, _family(i)))
         for i in range(num_hashes)
     ])
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))

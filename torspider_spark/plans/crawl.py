@@ -17,7 +17,9 @@ Per-epoch dataflow (shuffles annotated):
                                           [AQE: broadcast when batch small]
       -> E2 URL-seen semi/anti (operators/dedup.py)
                                           [broadcast; frontier never shuffled]
-      -> E3 state merge + inserts -> new frontier snapshot [epoch barrier]
+      -> E3 state merge -> bucketed MERGE INTO: rewrite only touched
+         url_hash buckets, append inserts as delta dirs [epoch barrier;
+         I/O ~ touched rows, never O(frontier)]
       -> scan_results append, metrics append
 
 The north metric (G6) — new unique URLs discovered+deduped per second of
@@ -58,13 +60,18 @@ class CrawlJob:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64("url_hash"), F.lit(self.cfg.frontier_buckets))
+
     def bootstrap(self, force: bool = False) -> None:
-        """Seeds -> frontier snapshot at epoch 0 (no-op when resuming)."""
+        """Seeds -> bucketed frontier snapshot at epoch 0 (no-op on resume)."""
         if self.wh.exists("frontier") and not force:
             return
         frontier0 = fr.bootstrap(self.spark, self.seeds, self.cfg)
-        self.wh.commit("frontier", frontier0, epoch=0, mode="overwrite",
-                       meta={"source": "seeds"})
+        self.wh.commit_bucketed(
+            "frontier", epoch=0,
+            rewrite=frontier0.withColumn("_bucket", self._bucket_col()),
+            meta={"source": "seeds"})
 
     def resume_epoch(self) -> int:
         """First epoch to run: one past the last committed frontier."""
@@ -140,12 +147,33 @@ class CrawlJob:
             # set) — fold this epoch's inserts in before the next epoch.
             self._bloom.merge(dedup.build_bloom(inserts, cfg))
 
-        # E3: merge outcomes + union inserts -> next frontier snapshot.
-        merged = fr.merge_scan_updates(frontier, internal, blocked, cfg, epoch)
-        new_frontier = merged.unionByName(inserts)
-        self.wh.commit("frontier", new_frontier, epoch, mode="overwrite",
-                       meta={"candidates": n_candidates,
-                             "inserted": n_inserted})
+        # E3: MERGE INTO the bucketed frontier — rewrite ONLY buckets holding
+        # this epoch's updated rows (plus any buckets due for delta
+        # compaction); inserts land as append-only delta dirs. The rest of
+        # the frontier is untouched: epoch I/O is O(touched rows), never
+        # O(frontier size) — the property a 10^10-row table needs.
+        update_keys = internal.select("url_hash")
+        if blocked is not None:
+            update_keys = update_keys.unionByName(blocked.select("url_hash"))
+        touched = {
+            int(r["b"]) for r in update_keys.select(
+                F.pmod(F.xxhash64("url_hash"),
+                       F.lit(cfg.frontier_buckets)).alias("b"))
+            .distinct().collect()
+        }
+        overfull = {b for b, n in self.wh.bucket_dir_counts("frontier").items()
+                    if n >= cfg.compact_max_dirs}
+        rewrite_ids = sorted(touched | overfull)
+        old_slice = self.wh.read_buckets("frontier", rewrite_ids)
+        merged = fr.merge_scan_updates(old_slice, internal, blocked, cfg, epoch)
+        self.wh.commit_bucketed(
+            "frontier", epoch,
+            rewrite=merged.withColumn("_bucket", self._bucket_col()),
+            append=(inserts.withColumn("_bucket", self._bucket_col())
+                    if n_inserted else None),
+            meta={"candidates": n_candidates, "inserted": n_inserted,
+                  "rewritten_buckets": len(rewrite_ids),
+                  "compacted_buckets": len(overfull - touched)})
 
         stats = {
             "epoch": epoch,

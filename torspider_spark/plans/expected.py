@@ -1,0 +1,152 @@
+"""Expected-output parquet for the crawl oracle queries.
+
+The driver's correctness gate runs each `queries()` entry on Spark and its
+`oracle_sql()` text on DuckDB. The crawl-engine queries are not expressible
+over the TPC-H-ish input tables, so their oracle is generated here from two
+INDEPENDENT implementations:
+
+  * the single-threaded `CrawlSimulator` (plans/simulator.py) — a separate
+    realization of the crawl semantics over plain dicts (no Spark, no
+    DataFrames), already equality-tested against the engine;
+  * a pure-Python minhash/LSH reference built on `weblib.xxh64` — a
+    from-spec XXH64 reimplementation verified against `F.xxhash64`.
+
+`write_expected` materializes their outputs as parquet; `oracle_sql()`
+points DuckDB at those files, so rows/schema/value-hash checks are real and
+non-circular (the engine never touches these files).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.plans.simulator import simulator_from_corpus_dir
+from torspider_spark.weblib import host_of
+from torspider_spark.weblib.xxh64 import I32, spark_xxhash64
+
+SENTINEL = "1900-01-01"
+
+
+def _write(out_dir: str, name: str, cols: dict) -> None:
+    pq.write_table(pa.table(cols), os.path.join(out_dir, name))
+
+
+def _sim_stats(sim) -> dict[str, float]:
+    """Independent re-statement of plans/stats.gather_stats over the
+    simulator's dict state (SpiderStats.py:65-170 semantics)."""
+    recs = list(sim.frontier.values())
+    total_urls = len(recs)
+    scanned = sum(1 for r in recs if r.last_scan_epoch >= 0)
+
+    host_alive: dict[str, bool] = defaultdict(bool)
+    for r in recs:
+        host_alive[r.host] |= r.state not in ("dead", "fault")
+    host_last_online: dict[str, int] = {}
+    for res in sim.results:
+        if res.online:
+            h = host_of(res.url)
+            host_last_online[h] = max(host_last_online.get(h, -1), res.epoch)
+
+    active = {h for h, alive in host_alive.items()
+              if alive and h in host_last_online}
+    remaining = {h for h, alive in host_alive.items()
+                 if alive and h not in host_last_online}
+    live_urls = sum(1 for r in recs if r.host in active)
+    return {
+        "total_urls": float(total_urls),
+        "scanned_urls": float(scanned),
+        "scan_percentage": scanned / total_urls if total_urls else 0.0,
+        "active_onions": float(len(active)),
+        "remaining_onions": float(len(remaining)),
+        "total_onions": float(len(host_alive)),
+        "live_urls": float(live_urls),
+        "total_pages": float(sum(1 for r in sim.results if r.hash is not None)),
+        "total_forms": float(sum(len(r.form_dicts) for r in sim.results)),
+        "total_links": float(sum(len(r.new_urls) for r in sim.results)),
+    }
+
+
+def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3) -> int:
+    """Pure-Python reference of minhash_signatures + lsh_candidate_pairs
+    over the corpus pages (doc_id = xxhash64(url))."""
+    pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
+                          columns=["url", "text"]).to_pylist()
+    rows_per_band = num_hashes // bands
+    buckets: dict[tuple[int, int], set[int]] = defaultdict(set)
+    for row in pages:
+        doc_id = spark_xxhash64(row["url"])
+        words = re.split(r"\s+", (row["text"] or "").strip())
+        count = max(len(words) - (shingle_n - 1), 1)
+        shingles = [" ".join(words[i:i + shingle_n]) for i in range(count)]
+        sig = [
+            min(spark_xxhash64(I32(i), s) for s in shingles)
+            for i in range(num_hashes)
+        ]
+        for b in range(bands):
+            band_hash = spark_xxhash64(
+                *sig[b * rows_per_band:(b + 1) * rows_per_band])
+            buckets[(b, band_hash)].add(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ordered = sorted(members)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                pairs.add((a, b))
+    return len(pairs)
+
+
+def write_expected(corpus_dir: str, out_dir: str,
+                   cfg: CrawlConfig | None = None, epochs: int = 2) -> str:
+    """Run the simulator + minhash reference and write the expected tables.
+    Idempotent: skips when the marker file for this epoch count exists."""
+    cfg = cfg or CrawlConfig(bloom_min_frontier=0)
+    marker = os.path.join(out_dir, f"_done_e{epochs}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    sim = simulator_from_corpus_dir(corpus_dir, cfg)
+    sim.run(max_epochs=epochs)
+
+    recs = list(sim.frontier.values())
+    _write(out_dir, "frontier_sim.parquet", {
+        "url": [r.url for r in recs],
+        "host": [r.host for r in recs],
+        "depth": pa.array([r.depth for r in recs], pa.int32()),
+        "state": [r.state for r in recs],
+        "added_epoch": pa.array([r.added_epoch for r in recs], pa.int32()),
+        "last_scan_epoch": pa.array([r.last_scan_epoch for r in recs],
+                                    pa.int32()),
+    })
+    _write(out_dir, "results_sim.parquet", {
+        "url": [r.url for r in sim.results],
+        "epoch": pa.array([r.epoch for r in sim.results], pa.int32()),
+        "fault": [r.fault for r in sim.results],
+        "online": [r.online for r in sim.results],
+        "hash": [r.hash for r in sim.results],
+    })
+    links = [(r.url, r.epoch, dst) for r in sim.results for dst in r.new_urls]
+    _write(out_dir, "links_sim.parquet", {
+        "src": [x[0] for x in links],
+        "epoch": pa.array([x[1] for x in links], pa.int32()),
+        "dst": [x[2] for x in links],
+    })
+    stats = _sim_stats(sim)
+    _write(out_dir, "stats_sim.parquet", {
+        "stat": sorted(stats),
+        "value": pa.array([stats[k] for k in sorted(stats)], pa.float64()),
+    })
+    _write(out_dir, "minhash_sim.parquet", {
+        "n_candidate_pairs": pa.array([_minhash_pair_count(corpus_dir)],
+                                      pa.int64()),
+    })
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir

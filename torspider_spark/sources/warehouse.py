@@ -154,8 +154,127 @@ class Warehouse:
             raise ValueError(f"no snapshot at or before epoch {epoch}")
         m["snapshots"] = keep
         m["current_dirs"] = keep[-1]["dirs"]
+        if "buckets" in keep[-1]:
+            m["buckets"] = keep[-1]["buckets"]
         m["epoch_dirs"] = {str(keep[-1]["epoch"]): keep[-1]["dirs"]}
         self._publish(name, m)
+
+    # -- bucketed tables (MERGE INTO analogue) --------------------------------
+    #
+    # A bucketed table is hash-partitioned by a bucket id (the crawl engine
+    # uses pmod(xxhash64(url_hash), B)); the manifest maps each bucket to an
+    # ordered LIST of data dirs (one rewritten base + appended deltas) —
+    # exactly Iceberg's bucket(url_hash) partition spec with copy-on-write
+    # MERGE for updates and fast-append snapshots for inserts:
+    #
+    #   * rewrite: buckets present in the rewrite frame get their dir list
+    #     REPLACED by the new dir (only buckets containing updated rows pay
+    #     I/O — the rest of the table is untouched);
+    #   * append:  buckets present in the append frame get one delta dir
+    #     ADDED (pure insert, zero read/rewrite of existing data);
+    #   * compaction: buckets whose dir list exceeds a threshold are folded
+    #     into the next rewrite (amortized O(1) dirs per bucket).
+    #
+    # Epoch cost is therefore O(touched rows + delta churn), never
+    # O(table size) — the property the 10^10-row frontier needs.
+
+    BUCKET_COL = "_bucket"
+
+    def read_buckets(self, name: str, bucket_ids=None) -> DataFrame:
+        """Read a bucketed table (optionally only the given buckets) —
+        bucket-level pruning the way an Iceberg partition filter would."""
+        m = self.manifest(name)
+        if m is None or "buckets" not in m:
+            raise FileNotFoundError(f"bucketed table not found: {name}")
+        buckets = m["buckets"]
+        ids = (sorted(buckets) if bucket_ids is None
+               else [str(b) for b in bucket_ids])
+        paths = [os.path.join(self._table_dir(name), d)
+                 for b in ids for d in buckets.get(str(b), [])]
+        if not paths:
+            # Preserve schema for empty selections via an empty frame over
+            # any existing dir, else fail (nothing ever committed).
+            any_paths = [os.path.join(self._table_dir(name), d)
+                         for dirs in buckets.values() for d in dirs]
+            if not any_paths:
+                raise FileNotFoundError(f"bucketed table empty: {name}")
+            return self.spark.read.parquet(any_paths[0]).limit(0)
+        return self.spark.read.parquet(*paths)
+
+    def bucket_dir_counts(self, name: str) -> dict[int, int]:
+        m = self.manifest(name) or {}
+        return {int(b): len(d) for b, d in m.get("buckets", {}).items()}
+
+    def commit_bucketed(self, name: str, epoch: int, *,
+                        rewrite: DataFrame | None = None,
+                        append: DataFrame | None = None,
+                        meta: dict | None = None) -> dict:
+        """Atomically publish one epoch of a bucketed table.
+
+        ``rewrite``/``append`` must carry the ``_bucket`` partition column.
+        The rewrite frame is the FULL new content of every bucket it
+        contains; the append frame is insert-only rows. Both are written
+        with partitionBy(_bucket) in a single job each, then one manifest
+        swap publishes the combined state — a crash before the swap leaves
+        the table at the previous snapshot (same guarantee as commit()).
+        """
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        m = self.manifest(name) or {"table": name, "snapshots": [],
+                                    "current_dirs": [], "epoch_dirs": {},
+                                    "buckets": {}}
+        m.setdefault("buckets", {})
+        seq = len(m["snapshots"])
+        buckets = {b: list(dirs) for b, dirs in m["buckets"].items()}
+        written = []
+
+        def _write(df: DataFrame, kind: str) -> list[str]:
+            data_dir = f"snap-{epoch:06d}-{seq:04d}-{kind}"
+            out_path = os.path.join(tdir, data_dir)
+            if os.path.exists(out_path):
+                referenced = {d for dirs in m["buckets"].values()
+                              for d in dirs}
+                for snap in m["snapshots"]:
+                    for dirs in snap.get("buckets", {}).values():
+                        referenced.update(dirs)
+                if any(d.startswith(data_dir) for d in referenced):
+                    raise RuntimeError(
+                        f"manifest corruption: {data_dir} already referenced")
+                shutil.rmtree(out_path)
+            (df.write.mode("error").partitionBy(self.BUCKET_COL)
+             .parquet(out_path))
+            written.append(data_dir)
+            return [
+                os.path.join(data_dir, e)
+                for e in sorted(os.listdir(out_path))
+                if e.startswith(f"{self.BUCKET_COL}=")
+            ]
+
+        if rewrite is not None:
+            for rel in _write(rewrite, "base"):
+                bucket_id = rel.split(f"{self.BUCKET_COL}=", 1)[1]
+                buckets[bucket_id] = [rel]
+        if append is not None:
+            for rel in _write(append, "delta"):
+                bucket_id = rel.split(f"{self.BUCKET_COL}=", 1)[1]
+                buckets.setdefault(bucket_id, []).append(rel)
+
+        snapshot = {
+            "id": f"snap-{epoch:06d}-{seq:04d}",
+            "epoch": epoch,
+            "mode": "bucketed",
+            "parent": m["snapshots"][-1]["id"] if m["snapshots"] else None,
+            "committed_at": time.time(),
+            "dirs": written,
+            "buckets": buckets,
+            "meta": meta or {},
+        }
+        m["snapshots"].append(snapshot)
+        m["buckets"] = buckets
+        m["current_dirs"] = sorted({d for dirs in buckets.values()
+                                    for d in dirs})
+        self._publish(name, m)
+        return snapshot
 
     def expire_snapshots(self, name: str, keep_last: int = 10) -> int:
         """Delete data dirs not referenced by the last ``keep_last``
@@ -163,9 +282,15 @@ class Warehouse:
         m = self.manifest(name)
         if m is None:
             return 0
-        live = set(m["current_dirs"])
+        # Bucketed tables reference sub-paths like 'snap-...-base/_bucket=3';
+        # liveness is tracked at the top-level snap dir.
+        live = {d.split("/")[0] for d in m["current_dirs"]}
+        for dirs in m.get("buckets", {}).values():
+            live.update(d.split("/")[0] for d in dirs)
         for snap in m["snapshots"][-keep_last:]:
-            live.update(snap["dirs"])
+            live.update(d.split("/")[0] for d in snap["dirs"])
+            for dirs in snap.get("buckets", {}).values():
+                live.update(d.split("/")[0] for d in dirs)
         removed = 0
         tdir = self._table_dir(name)
         for entry in os.listdir(tdir):
