@@ -84,11 +84,11 @@ def test_unseen_urls_exact(spark):
 
 
 def test_unseen_urls_with_bloom_identical(spark):
-    cfg = CrawlConfig(bloom_capacity=1 << 12, bloom_fpp=0.2)
+    cfg = CrawlConfig(bloom_capacity=1 << 12, bloom_fpp=0.2, bloom_shards=8)
     frontier = _frontier_df(
         spark, [(f"http://x.onion/{i}", "x.onion", 0, 0, "done", 0)
                 for i in range(500)])
-    bloom = dedup.build_bloom(frontier, cfg)
+    bloom = dedup.BloomShards.build(frontier, cfg)
     new = spark.createDataFrame(
         [(f"http://x.onion/{i}", url_sha1(f"http://x.onion/{i}"))
          for i in range(400, 900)], "url string, url_hash string")
@@ -165,3 +165,32 @@ def test_frontier_host_key_matches_urlsplit_netloc(spark):
     for u in urls:
         assert got[u] == host_of(u), u
         assert got[u] is not None
+
+
+def test_bloom_shards_distributed_invariants(spark):
+    """BloomShards: per-shard bitsets are O(capacity/shards); a merged
+    delta keeps the superset invariant; probing flags every present key."""
+    from torspider_spark.weblib import url_sha1
+
+    # Many shards + many keys: every bucket must cogroup with ITS shard
+    # (regression: a long-vs-int key-type mismatch paired buckets with
+    # empty shard groups and produced false negatives at e2e scale).
+    cfg = CrawlConfig(bloom_capacity=1 << 16, bloom_fpp=0.1, bloom_shards=64)
+    base = spark.createDataFrame(
+        [(url_sha1(f"a{i}"),) for i in range(5000)], "url_hash string")
+    shards = dedup.BloomShards.build(base, cfg)
+    rows = shards.shards.collect()
+    full_bits = dedup.UrlBloom(cfg.bloom_capacity, cfg.bloom_fpp).n_bits
+    shard_bits = dedup.UrlBloom(shards.shard_capacity, cfg.bloom_fpp).n_bits
+    assert all(len(r.words) * 8 == shard_bits for r in rows)
+    assert shard_bits * cfg.bloom_shards <= 2 * full_bits  # O(capacity/P) each
+    # every base key probes maybe-seen (no false negatives)
+    probed = shards.probe(base)
+    assert probed.filter("NOT _maybe").count() == 0
+    # fold a delta in; delta keys must then probe maybe-seen too
+    delta = spark.createDataFrame(
+        [(url_sha1(f"b{i}"),) for i in range(500)], "url_hash string")
+    merged = shards.merged_with(delta)
+    assert merged.probe(delta).filter("NOT _maybe").count() == 0
+    assert merged.probe(base).filter("NOT _maybe").count() == 0
+    merged.unpersist()

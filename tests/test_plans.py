@@ -121,3 +121,78 @@ def test_frontier_commits_touch_only_updated_buckets(spark, corpus_dir,
         and s_prev["buckets"][b][0] == s_last["buckets"][b][0]
     ]
     assert shared, "every bucket was rewritten every epoch"
+
+
+def test_persisted_derived_tables_match_views(spark, corpus_dir, tmp_path):
+    """links/forms/pages (per-epoch appends) and urls/onions (publish
+    rollups) must equal the on-the-fly derivations, and the persisted
+    stats must equal the derived stats (VERDICT r1 #8)."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans import stats as st
+    from torspider_spark.plans.crawl import CrawlJob
+
+    cfg = CrawlConfig(bloom_min_frontier=0, persist_derived=True)
+    job = CrawlJob(spark, corpus_dir[0], str(tmp_path / "wh"), cfg)
+    job.run(max_epochs=3)
+
+    results, frontier = job.results(), job.frontier_df()
+    persisted_links = {tuple(r) for r in job.wh.read("links").collect()}
+    derived_links = {tuple(r) for r in st.links_table(results).collect()}
+    assert persisted_links == derived_links
+    assert job.wh.read("forms").count() == st.forms_table(results).count()
+    assert job.wh.read("pages").count() == st.pages_table(results).count()
+    persisted_urls = {tuple(r) for r in job.wh.read("urls").collect()}
+    derived_urls = {tuple(r) for r in st.urls_table(frontier).collect()}
+    assert persisted_urls == derived_urls
+    p_onions = {r.host: (r.last_online, r.online, r.title)
+                for r in job.wh.read("onions").collect()}
+    d_onions = {r.host: (r.last_online, r.online, r.title)
+                for r in st.onions_table(frontier, results).collect()}
+    assert p_onions == d_onions
+    assert st.gather_stats_persisted(job.wh) == st.gather_stats(
+        frontier, results)
+    # C6: at least one host consolidated a real title
+    assert any(t for (_, _, t) in p_onions.values())
+
+
+def test_consolidated_titles_merge_semantics(spark):
+    """C6 fold: merge_titles intersection in (epoch, url) order; empty
+    intersections keep the incumbent (reference functions.py:17-24)."""
+    from torspider_spark.plans.stats import consolidated_titles
+
+    rows = [
+        # host A: 'Deep Web Index' ∩ 'Index of the Deep Web' -> 'Deep Web Index'
+        ("h-a.onion", 1, "http://h-a.onion/1", "Deep Web Index"),
+        ("h-a.onion", 2, "http://h-a.onion/2", "Index of the Deep Web"),
+        # host B: disjoint titles keep the first
+        ("h-b.onion", 1, "http://h-b.onion/1", "Alpha Beta"),
+        ("h-b.onion", 2, "http://h-b.onion/2", "Gamma Delta"),
+        # host C: null/empty titles are skipped entirely
+        ("h-c.onion", 1, "http://h-c.onion/1", None),
+        ("h-c.onion", 2, "http://h-c.onion/2", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, epoch int, url string, title string")
+    got = {r.host: r.title for r in consolidated_titles(df).collect()}
+    assert got["h-a.onion"] == "Deep Web Index"
+    assert got["h-b.onion"] == "Alpha Beta"
+    assert "h-c.onion" not in got
+
+
+def test_merge_titles_matches_reference():
+    """weblib.merge_titles byte-equality vs the reference implementation."""
+    from tests.oracle import ref_functions
+
+    from torspider_spark.weblib.textutil import merge_titles
+
+    ref_merge = ref_functions.merge_titles
+
+    cases = [
+        ("Deep Web Index", "Index of the Deep Web"),
+        ("a b a c", "a c d"),
+        ("", "anything"),
+        ("one two", "three four"),
+        ("Tor   Hidden  Service", "Hidden Tor Service"),
+    ]
+    for t1, t2 in cases:
+        assert merge_titles(t1, t2) == ref_merge(t1, t2), (t1, t2)

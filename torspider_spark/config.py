@@ -27,6 +27,7 @@ class CrawlConfig:
     max_epochs: int = 100               # BSP loop bound
     robots_enabled: bool = True         # 2.J (north_rule addition)
     robots_ttl_epochs: int = 10         # robots cache refresh period
+    robots_broadcast: bool = True       # broadcast the robots dim join side
     rescan_period_epochs: int = 0       # 0 = never rescan 'done' URLs
 
     # -- determinism --------------------------------------------------------
@@ -37,8 +38,10 @@ class CrawlConfig:
     shuffle_partitions: int = 32        # ~cores locally; 2-4x cores on a cluster
     salt_buckets: int = 8               # hot-host salting fan-out (E1/F1 skew)
     topk_local_prefilter: bool = True   # two-phase salted top-k in F1
-    bloom_capacity: int = 1 << 22       # per-epoch URL-seen bloom prefilter
+    bloom_capacity: int = 1 << 22       # total URL-seen bloom key budget
     bloom_fpp: float = 0.03
+    bloom_shards: int = 64              # bitset shards (executor-resident);
+                                        # size so capacity/shards ~ a few MB
     bloom_min_frontier: int = 100_000   # below this, skip bloom (anti-join only)
     dedup_strategy: str = "auto"        # 'auto' | 'semi_anti' (huge frontier)
     merge_broadcast: bool = True        # broadcast epoch updates in E3 merge
@@ -49,6 +52,10 @@ class CrawlConfig:
     frontier_buckets: int = 64
     compact_max_dirs: int = 8           # fold buckets with >= this many dirs
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
+    # Persist the reference backend's derived tables (SpiderStats.py:69-146):
+    # links/forms/pages appended per epoch (epoch-slice only — no recompute),
+    # urls/onions rolled up at publish_tables() (end of run).
+    persist_derived: bool = True
 
     CONF_PREFIX = "spark.torfrontier."
 

@@ -59,66 +59,81 @@ def select_candidates(frontier: DataFrame, epoch: int,
             .filter(F.col("_rn") <= k).drop("_rn"))
 
 
-def flag_robots(candidates: DataFrame, robots_bc,
+# Hosts without a robots.txt vastly outnumber hosts with one, so the rule
+# evaluation UDF sees mostly-null rule text and short-circuits.
+_ALLOWED_SCHEMA = T.BooleanType()
+
+
+@F.pandas_udf(_ALLOWED_SCHEMA)
+def _robots_allowed_udf(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
+    """can_fetch('*', url) under the host's joined robots.txt text.
+
+    Null text => no robots.txt for the host => allowed. /robots.txt
+    itself is always fetchable. Parsers are memoized per distinct rule
+    text within the Arrow batch (candidates arrive grouped by host after
+    the politeness top-k, so the hit rate is high)."""
+    from urllib.robotparser import RobotFileParser
+
+    parsers: dict[str, RobotFileParser] = {}
+    out = []
+    for u, txt in zip(url, robots_txt):
+        if txt is None or u.endswith("/robots.txt"):
+            out.append(True)
+            continue
+        parser = parsers.get(txt)
+        if parser is None:
+            parser = RobotFileParser()
+            parser.parse(txt.splitlines())
+            parsers[txt] = parser
+        try:
+            out.append(parser.can_fetch("*", u))
+        except Exception:
+            out.append(True)
+    return pd.Series(out)
+
+
+def flag_robots(candidates: DataFrame, robots_dim: DataFrame | None,
                 cfg: CrawlConfig) -> DataFrame:
-    """2.J — add an ``_allowed`` column under the broadcast robots cache.
+    """2.J — add an ``_allowed`` column by joining the robots rules
+    dimension on host and evaluating the rule text in a vectorized UDF.
     Not in the reference (it fetches unconditionally); the north_rule adds
-    it. The robots.txt URLs themselves are always allowed."""
-    if not cfg.robots_enabled or robots_bc is None:
+    it.
+
+    Scale shape: the dimension (one row per host that serves a robots.txt)
+    is broadcast into the epoch's candidate slice — rule evaluation is
+    map-side, nothing is collected to the driver. If the dimension ever
+    outgrows the broadcast threshold (tens of millions of robots hosts),
+    drop the hint and AQE falls back to a shuffle join on host.
+    """
+    if not cfg.robots_enabled or robots_dim is None:
         return candidates.withColumn("_allowed", F.lit(True))
-
-    @F.pandas_udf(T.BooleanType())
-    def robots_allowed(host: pd.Series, url: pd.Series) -> pd.Series:
-        rules = robots_bc.value
-        out = []
-        for h, u in zip(host, url):
-            parser = rules.get(h)
-            if parser is None:
-                out.append(True)
-            elif u.endswith("/robots.txt"):
-                out.append(True)
-            else:
-                try:
-                    out.append(parser.can_fetch("*", u))
-                except Exception:
-                    out.append(True)
-        return pd.Series(out)
-
-    return candidates.withColumn(
-        "_allowed", robots_allowed(F.col("host"), F.col("url")))
+    dim = F.broadcast(robots_dim) if cfg.robots_broadcast else robots_dim
+    joined = candidates.join(dim, "host", "left")
+    return (joined.withColumn(
+        "_allowed", _robots_allowed_udf(F.col("url"), F.col("robots_txt")))
+        .drop("robots_txt"))
 
 
-def split_robots(candidates: DataFrame, robots_bc,
+def split_robots(candidates: DataFrame, robots_dim,
                  cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
     """(allowed, blocked) split — see flag_robots."""
-    flagged = flag_robots(candidates, robots_bc, cfg)
+    flagged = flag_robots(candidates, robots_dim, cfg)
     return (flagged.filter(F.col("_allowed")).drop("_allowed"),
             flagged.filter(~F.col("_allowed")).drop("_allowed"))
 
 
-def build_robots_cache(spark, pages_meta: DataFrame, pages: DataFrame,
-                       cfg: CrawlConfig):
-    """Broadcast host -> RobotFileParser built from /robots.txt pages.
+def build_robots_dim(pages: DataFrame) -> DataFrame:
+    """host -> robots.txt rule text dimension (2.J).
 
-    Collected to the driver and broadcast: robots bodies are tiny and only
-    hosts that serve one appear (clamped defensively). At 10^10-URL scale
-    with millions of robots hosts this becomes a map-side join against a
-    small dimension table instead — same plan shape, noted here.
+    A pure DataFrame over the page store: the /robots.txt filter is pushed
+    into the parquet scan (StartsWith/EndsWith pushdown) and only (url,
+    text) columns are read. No driver collect — at 10^10-URL scale this is
+    a normal dim-table build; the caller persists (or commits) it per
+    robots TTL. Host key = url.split('/')[2], same as the reference's
+    robots fetcher and the simulator.
     """
-    if not cfg.robots_enabled:
-        return None
-    from urllib.robotparser import RobotFileParser
-
-    rows = (
+    return (
         pages.filter(F.col("url").endswith("/robots.txt"))
-        .select("url", "text")
-        .limit(1_000_000)
-        .collect()
+        .select(F.split(F.col("url"), "/").getItem(2).alias("host"),
+                F.col("text").alias("robots_txt"))
     )
-    cache = {}
-    for row in rows:
-        host = row.url.split("/")[2]
-        parser = RobotFileParser()
-        parser.parse((row.text or "").splitlines())
-        cache[host] = parser
-    return spark.sparkContext.broadcast(cache)

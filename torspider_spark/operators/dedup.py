@@ -19,9 +19,13 @@ large to broadcast, AQE falls back to a shuffle join on url_hash — on a real
 deployment the frontier table is bucketed by url_hash so even that join is
 co-located (storage-partitioned join; noted for the Iceberg layout).
 
-The bloom prefilter routes "definitely unseen" URLs around both joins: with
-the frontier's keys folded into ``UrlBloom`` (built distributed, merged
-bitwise on the driver, broadcast next epoch), only the maybe-seen fraction
+The bloom prefilter routes "definitely unseen" URLs around both joins: the
+frontier's keys live in ``BloomShards`` — per-bucket ``UrlBloom`` bitsets
+held as a distributed (bucket, words) DataFrame, built via map-side partial
+aggregation, probed via a bucket cogroup, and merged with each epoch's
+inserts by per-bucket bitwise OR. No bitset ever lands on the driver, and
+each executor task holds one shard (total_bits / n_shards), so the
+structure reaches the 10^10-key design point. Only the maybe-seen fraction
 (true hits + fpp) pays the semi-join probe.
 """
 
@@ -78,48 +82,158 @@ class UrlBloom:
         np.bitwise_or(self.words, other.words, out=self.words)
 
 
-def build_bloom(df_with_hash: DataFrame, cfg: CrawlConfig) -> UrlBloom:
-    """Distributed bloom build: per-partition bitsets on executors, merged
-    bitwise on the driver (a few MB each — a classic partial-aggregate)."""
-    capacity, fpp = cfg.bloom_capacity, cfg.bloom_fpp
-    n_bits = UrlBloom(capacity, fpp).n_bits
+class BloomShards:
+    """Distributed URL-seen bloom: one `UrlBloom` shard per hash bucket,
+    held as a (bucket int, words binary) DataFrame — never on the driver.
 
-    def partial(iterator):
-        bloom = UrlBloom(capacity, fpp)
-        for pdf in iterator:
+    SURVEY §2.D's design point is ~10^10 keys: a single bitset is ~9 GB,
+    so neither a driver merge nor a broadcast can carry it. Sharding by
+    bucket = pmod(xxhash64(url_hash), n_shards) keeps every piece
+    executor-sized (total_bits / n_shards) and co-locates probe rows with
+    their shard:
+
+      build  — groupBy(bucket) + applyInPandas partial bitset (map-side
+               combine; each task materializes ONE shard of
+               capacity/n_shards, not a full-size bitset);
+      probe  — cogroup(new_urls by bucket, shards by bucket): membership
+               evaluated where the shard lives; a missing shard means the
+               bucket holds no keys => definitely unseen;
+      merge  — union + groupBy(bucket) bitwise OR (folds an epoch's insert
+               deltas in without touching other shards).
+
+    The superset invariant (bloom ⊇ frontier keys) is the caller's
+    responsibility — a false negative would skip the exact anti-join and
+    corrupt the URL-seen set, so inserts must be merged before reuse.
+    """
+
+    def __init__(self, shards: DataFrame, capacity: int, fpp: float,
+                 n_shards: int):
+        self.shards = shards
+        self.capacity = capacity
+        self.fpp = fpp
+        self.n_shards = n_shards
+        self.shard_capacity = max(1024, capacity // n_shards)
+
+    @staticmethod
+    def _bucket_col(n_shards: int):
+        # Cast to int so BOTH cogroup sides key on the same type: pmod of
+        # xxhash64 is a LONG, the shard table's bucket is an INT, and
+        # mismatched key types hash to different shuffle partitions
+        # (hashLong(5) != hashInt(5)) — the cogroup then pairs a bucket's
+        # probe rows with an EMPTY shard group and reports false negatives.
+        return F.pmod(F.xxhash64("url_hash"), F.lit(n_shards)).cast("int")
+
+    @classmethod
+    def build(cls, df_with_hash: DataFrame, cfg: CrawlConfig) -> "BloomShards":
+        capacity, fpp = cfg.bloom_capacity, cfg.bloom_fpp
+        n_shards = cfg.bloom_shards
+        shard_capacity = max(1024, capacity // n_shards)
+
+        def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bloom = UrlBloom(shard_capacity, fpp)
             bloom.add_series(pdf["url_hash"])
-        yield pd.DataFrame({"words": [bloom.words.tobytes()]})
+            return pd.DataFrame({"bucket": [int(key[0])],
+                                 "words": [bloom.words.tobytes()]})
 
-    parts = (df_with_hash.select("url_hash")
-             .mapInPandas(partial, schema="words binary").collect())
-    merged = UrlBloom(capacity, fpp)
-    for row in parts:
-        other = UrlBloom(capacity, fpp)
-        other.words = np.frombuffer(row.words, dtype=np.uint64).copy()
-        assert other.n_bits == n_bits
-        merged.merge(other)
-    return merged
+        shards = (
+            df_with_hash.select("url_hash")
+            .withColumn("bucket", cls._bucket_col(n_shards))
+            .groupBy("bucket")
+            .applyInPandas(make, schema="bucket int, words binary")
+        )
+        out = cls(shards, capacity, fpp, n_shards)
+        out.materialize()
+        return out
 
+    def materialize(self) -> None:
+        """Eagerly localCheckpoint the shard table: stores the bitset rows
+        as executor blocks and SEVERS the lineage. Plain persist() is not
+        enough here — each epoch's shards depend on the previous epoch's
+        shards AND on that epoch's probe output; once those upstream caches
+        are released (cascading uncache), a lazily-recomputed shard table
+        would replay the whole epoch history (observed: merge cost growing
+        1s -> 197s over four epochs). On a real cluster, checkpoint to the
+        warehouse instead for executor-loss resilience; the bloom is an
+        optimization, so a lost block only costs a rebuild from the
+        frontier."""
+        self.shards = self.shards.localCheckpoint(eager=True)
 
-def bloom_maybe_seen_col(spark, bloom: UrlBloom):
-    """Column function: True when url_hash is possibly in the bloom."""
-    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.k,
-                                       bloom.words.tobytes()))
+    def unpersist(self) -> None:
+        self.shards.unpersist()
 
-    @F.pandas_udf(T.BooleanType())
-    def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        n_bits, k, raw = bc.value
-        bloom_local = UrlBloom.__new__(UrlBloom)
-        bloom_local.n_bits = n_bits
-        bloom_local.k = k
-        bloom_local.words = np.frombuffer(raw, dtype=np.uint64)
-        return pd.Series(bloom_local.contains_series(url_hash))
+    def _local(self, raw: bytes) -> UrlBloom:
+        bloom = UrlBloom(self.shard_capacity, self.fpp)
+        bloom.words = np.frombuffer(raw, dtype=np.uint64).copy()
+        return bloom
 
-    return maybe_seen
+    def probe(self, df_with_hash: DataFrame) -> DataFrame:
+        """df + `_maybe` boolean: True when url_hash may be in the set."""
+        cols = df_with_hash.columns
+        # Fresh StructType: .add() would MUTATE the frame's cached schema,
+        # breaking a second probe of the same DataFrame.
+        schema = T.StructType(
+            list(df_with_hash.schema.fields)
+            + [T.StructField("_maybe", T.BooleanType())])
+        shard_cap, fpp = self.shard_capacity, self.fpp
+
+        def eval_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.drop(columns=["_pb"])
+            if len(left) == 0:
+                return left.assign(_maybe=pd.Series([], dtype=bool))
+            if len(right) == 0:  # no shard: bucket has no keys
+                return left.assign(_maybe=False)
+            bloom = UrlBloom(shard_cap, fpp)
+            bloom.words = np.frombuffer(right["words"].iloc[0],
+                                        dtype=np.uint64).copy()
+            return left.assign(_maybe=bloom.contains_series(left["url_hash"]))
+
+        probed = (
+            df_with_hash.withColumn("_pb", self._bucket_col(self.n_shards))
+            .groupBy("_pb")
+            .cogroup(self.shards.groupBy("bucket"))
+            .applyInPandas(eval_group, schema=schema)
+        )
+        return probed.select(*cols, "_maybe")
+
+    def merged_with(self, df_with_hash: DataFrame) -> "BloomShards":
+        """New BloomShards with ``df_with_hash``'s keys folded in (bitwise
+        OR per bucket), using THIS instance's sizing so bitsets stay
+        compatible. Only buckets receiving keys shuffle any data."""
+        shard_cap, fpp, n_shards = self.shard_capacity, self.fpp, self.n_shards
+
+        def make(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bloom = UrlBloom(shard_cap, fpp)
+            bloom.add_series(pdf["url_hash"])
+            return pd.DataFrame({"bucket": [int(key[0])],
+                                 "words": [bloom.words.tobytes()]})
+
+        delta_shards = (
+            df_with_hash.select("url_hash")
+            .withColumn("bucket", self._bucket_col(n_shards))
+            .groupBy("bucket")
+            .applyInPandas(make, schema="bucket int, words binary")
+        )
+
+        def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = UrlBloom(shard_cap, fpp)
+            for raw in pdf["words"]:
+                acc.words |= np.frombuffer(raw, dtype=np.uint64)
+            return pd.DataFrame({"bucket": [int(key[0])],
+                                 "words": [acc.words.tobytes()]})
+
+        merged = (
+            self.shards.unionByName(delta_shards)
+            .groupBy("bucket")
+            .applyInPandas(fold, schema="bucket int, words binary")
+        )
+        out = BloomShards(merged, self.capacity, self.fpp, self.n_shards)
+        out.materialize()
+        self.unpersist()
+        return out
 
 
 def unseen_urls(new_urls: DataFrame, frontier: DataFrame,
-                spark=None, bloom: UrlBloom | None = None,
+                spark=None, bloom: BloomShards | None = None,
                 strategy: str = "auto") -> DataFrame:
     """Exact URL-seen check: rows of ``new_urls`` absent from ``frontier``.
 
@@ -137,9 +251,8 @@ def unseen_urls(new_urls: DataFrame, frontier: DataFrame,
     """
     candidates = new_urls
     definitely_new = None
-    if bloom is not None and spark is not None:
-        flag = bloom_maybe_seen_col(spark, bloom)
-        flagged = new_urls.withColumn("_maybe", flag(F.col("url_hash")))
+    if bloom is not None:
+        flagged = bloom.probe(new_urls)
         definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
         candidates = flagged.filter(F.col("_maybe")).drop("_maybe")
 

@@ -54,7 +54,7 @@ class CrawlJob:
         self.pages_meta = spark.read.parquet(
             os.path.join(corpus_dir, "pages_meta.parquet"))
         self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
-        self._robots_bc = None
+        self._robots_dim = None
         self._robots_built_epoch = -(10**9)
         self._bloom = None
 
@@ -84,13 +84,17 @@ class CrawlJob:
     # -- robots cache (2.J) ---------------------------------------------------
 
     def _robots(self, epoch: int):
+        """Robots rules dimension DataFrame, rebuilt per TTL and persisted
+        (2.J). No driver collect of page data — flag_robots broadcast-joins
+        the dim into the epoch's candidates."""
         if not self.cfg.robots_enabled:
             return None
         if epoch - self._robots_built_epoch >= self.cfg.robots_ttl_epochs:
-            self._robots_bc = candidate.build_robots_cache(
-                self.spark, self.pages_meta, self.pages, self.cfg)
+            if self._robots_dim is not None:
+                self._robots_dim.unpersist()
+            self._robots_dim = candidate.build_robots_dim(self.pages).persist()
             self._robots_built_epoch = epoch
-        return self._robots_bc
+        return self._robots_dim
 
     # -- one epoch -----------------------------------------------------------
 
@@ -123,9 +127,22 @@ class CrawlJob:
         ).collect()[0]
 
         # Sink 1: the SpiderURL records (parse-queue analogue, A4).
-        self.wh.commit("scan_results",
-                       pipeline.to_scan_results(internal, epoch, cfg),
-                       epoch, mode="append")
+        epoch_results = pipeline.to_scan_results(internal, epoch, cfg)
+        self.wh.commit("scan_results", epoch_results, epoch, mode="append")
+
+        # Persisted derived tables (SpiderStats.py:69,113-116,144-146):
+        # links/forms/pages are pure functions of THIS epoch's result slice,
+        # so the appends never re-read history (urls/onions roll up at
+        # publish_tables()).
+        if cfg.persist_derived:
+            from torspider_spark.plans import stats as st
+
+            self.wh.commit("links", st.links_table(epoch_results),
+                           epoch, mode="append")
+            self.wh.commit("forms", st.forms_table(epoch_results),
+                           epoch, mode="append")
+            self.wh.commit("pages", st.pages_table(epoch_results),
+                           epoch, mode="append")
 
         # E2: dedup discovered URLs against the frontier.
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
@@ -145,7 +162,9 @@ class CrawlJob:
             # The bloom must remain a SUPERSET of frontier keys (false
             # negatives would skip the exact check and corrupt the URL-seen
             # set) — fold this epoch's inserts in before the next epoch.
-            self._bloom.merge(dedup.build_bloom(inserts, cfg))
+            # Distributed bitwise OR per shard; touches only buckets that
+            # received keys, nothing on the driver.
+            self._bloom = self._bloom.merged_with(inserts)
 
         # E3: MERGE INTO the bucketed frontier — rewrite ONLY buckets holding
         # this epoch's updated rows (plus any buckets due for delta
@@ -194,7 +213,9 @@ class CrawlJob:
         return stats
 
     def _maybe_bloom(self, frontier: DataFrame):
-        """Bloom prefilter once the frontier is large enough to matter.
+        """Sharded-bloom prefilter once the frontier is large enough to
+        matter (dedup.BloomShards — bitsets live on executors as a
+        (bucket, words) DataFrame; nothing is collected to the driver).
         Correctness never depends on it (exact anti-join is the arbiter)."""
         cfg = self.cfg
         if cfg.bloom_min_frontier <= 0:
@@ -202,7 +223,7 @@ class CrawlJob:
         if self._bloom is None:
             # Parquet count is metadata-only — a cheap size probe.
             if frontier.count() >= cfg.bloom_min_frontier:
-                self._bloom = dedup.build_bloom(frontier, cfg)
+                self._bloom = dedup.BloomShards.build(frontier, cfg)
         return self._bloom
 
     def _commit_metrics(self, epoch: int, stats: dict,
@@ -243,9 +264,27 @@ class CrawlJob:
                       f"({stats['seconds']:.1f}s)")
             if stats["empty"]:
                 break
+        if cfg.persist_derived and history and not all(
+                h["empty"] for h in history):
+            self.publish_tables()
         return history
 
     # -- derived tables (for stats / oracle queries) --------------------------
+
+    def publish_tables(self) -> None:
+        """Commit the urls/onions rollups (the other three backend tables —
+        links/forms/pages — are appended per epoch). Rollups aggregate the
+        full frontier / scan history, so they refresh on publish rather
+        than per epoch — the Iceberg materialized-view refresh shape."""
+        from torspider_spark.plans import stats as st
+
+        epoch = self.wh.current_epoch("frontier") or 0
+        frontier = self.frontier_df()
+        results = self.results()
+        self.wh.commit("urls", st.urls_table(frontier), epoch,
+                       mode="overwrite")
+        self.wh.commit("onions", st.onions_table(frontier, results), epoch,
+                       mode="overwrite")
 
     def results(self) -> DataFrame:
         return self.wh.read("scan_results")

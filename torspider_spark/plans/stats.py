@@ -13,6 +13,7 @@ seen online (SpiderStats.py:70-96).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,22 +34,67 @@ def urls_table(frontier: DataFrame) -> DataFrame:
     )
 
 
+def consolidated_titles(scan_results: DataFrame,
+                        max_titles_per_host: int = 10_000) -> DataFrame:
+    """C6 — per-host title consolidated with merge_titles semantics
+    (reference: libs/functions.py:17-24 — order-preserving, duplicate-
+    keeping token intersection, title1's order wins).
+
+    The fold is inherently sequential, so titles are collected per host in
+    deterministic (epoch, url) order and folded in one Arrow batch. The
+    collect_list is capped (a hot host at 100-TB scale could report
+    millions of titles; after ``max_titles_per_host`` observations the
+    intersection has long since converged)."""
+    titled = scan_results.filter(
+        F.col("title").isNotNull() & (F.col("title") != ""))
+    per_host = titled.groupBy("host").agg(
+        F.slice(
+            F.sort_array(F.collect_list(
+                F.struct("epoch", "url", "title"))),
+            1, max_titles_per_host).alias("obs"))
+
+    from torspider_spark.weblib.textutil import merge_titles
+
+    @F.pandas_udf("string")
+    def fold_titles(obs: pd.Series) -> pd.Series:
+        out = []
+        for items in obs:
+            title = None
+            for it in items:
+                t = it["title"]
+                if title is None:
+                    title = t
+                else:
+                    merged = merge_titles(title, t)
+                    # An empty intersection keeps the incumbent (the
+                    # backend never blanks a stored title).
+                    title = merged if merged else title
+            out.append(title)
+        return pd.Series(out, dtype="object")
+
+    return per_host.select("host", fold_titles(F.col("obs")).alias("title"))
+
+
 def onions_table(frontier: DataFrame, scan_results: DataFrame) -> DataFrame:
     """onions: per-host rollup. last_online = latest epoch the host answered
-    online (sentinel when never); online = host still has non-dead URLs."""
+    online (sentinel when never); online = host still has non-dead URLs;
+    title = merge_titles-consolidated page titles (C6)."""
     per_host_results = scan_results.groupBy("host").agg(
         F.max(F.when(F.col("online"), F.col("epoch"))).alias("last_online_epoch"))
     per_host_frontier = frontier.groupBy("host").agg(
         F.max(F.when(~F.col("state").isin("dead", "fault"), 1).otherwise(0))
         .alias("alive"))
+    titles = consolidated_titles(scan_results)
     return (
         per_host_frontier.join(per_host_results, "host", "left")
+        .join(titles, "host", "left")
         .select(
             "host",
             F.when(F.col("last_online_epoch").isNotNull(),
                    F.col("last_online_epoch").cast("string"))
             .otherwise(F.lit(SENTINEL)).alias("last_online"),
             (F.col("alive") == 1).alias("online"),
+            F.coalesce(F.col("title"), F.lit("")).alias("title"),
         )
     )
 
@@ -78,12 +124,23 @@ def pages_table(scan_results: DataFrame) -> DataFrame:
 # -- the stats queries (SpiderStats.py:65-170) --------------------------------
 
 def gather_stats(frontier: DataFrame, scan_results: DataFrame) -> dict:
-    urls = urls_table(frontier)
-    onions = onions_table(frontier, scan_results)
-    links = links_table(scan_results)
-    forms = forms_table(scan_results)
-    pages = pages_table(scan_results)
+    """G1-G6 derived on the fly from frontier + scan_results."""
+    return _stats_over(
+        urls_table(frontier), onions_table(frontier, scan_results),
+        links_table(scan_results), forms_table(scan_results),
+        pages_table(scan_results))
 
+
+def gather_stats_persisted(wh) -> dict:
+    """G1-G6 over the warehouse's persisted backend tables (committed by
+    CrawlJob: links/forms/pages per epoch, urls/onions at publish) — the
+    reference's SpiderStats reads its materialized tables the same way."""
+    return _stats_over(wh.read("urls"), wh.read("onions"), wh.read("links"),
+                       wh.read("forms"), wh.read("pages"))
+
+
+def _stats_over(urls: DataFrame, onions: DataFrame, links: DataFrame,
+                forms: DataFrame, pages: DataFrame) -> dict:
     url_count = urls.count()                                   # G1
     scanned = urls.filter(F.col("date") != SENTINEL).count()   # G2
     active_onions = onions.filter(

@@ -304,7 +304,9 @@ class Warehouse:
 
 def try_iceberg(spark: SparkSession) -> bool:
     """True when a real Iceberg catalog is usable in this session. The
-    image has no Iceberg runtime jar, so this returns False here; kept as
+    image has no Iceberg runtime jar, no pyiceberg wheel, and no network to
+    fetch either (attempt recorded in BENCH/ICEBERG.md, with the
+    call-by-call mapping from this Warehouse onto a real catalog); kept as
     the integration point for cluster deployments."""
     try:
         spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
