@@ -13,7 +13,7 @@ If the bucketed path is right, its epoch time tracks the touched-row count
 and stays near-flat across the 10x growth while the full rewrite scales
 with table size. Prints one JSON line and appends BENCH/frontier_merge.json.
 
-Usage: python jobs/frontier_merge_bench.py [small_n] [growth] [updates]
+Usage: python jobs/frontier_merge_bench.py [small_n] [growth] [updates] [buckets]
 """
 
 from __future__ import annotations
@@ -125,7 +125,8 @@ def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     growth = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    cfg = CrawlConfig(frontier_buckets=256)
+    buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    cfg = CrawlConfig(frontier_buckets=buckets)
     spark = get_spark(app_name="frontier-merge-bench")
 
     out = {"protocol": (

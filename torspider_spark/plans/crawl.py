@@ -126,23 +126,33 @@ class CrawlJob:
             F.sum(F.size("new_urls")).alias("discovered"),
         ).collect()[0]
 
-        # Sink 1: the SpiderURL records (parse-queue analogue, A4).
+        # Sink 1: the SpiderURL records (parse-queue analogue, A4), plus the
+        # persisted derived tables (SpiderStats.py:69,113-116,144-146):
+        # links/forms/pages are pure functions of THIS epoch's result slice
+        # (cached), so the appends never re-read history (urls/onions roll
+        # up at publish_tables()). The four commits are independent jobs
+        # over the same cached slice — submit them concurrently so the
+        # epoch pays max(job) wall, not sum(job).
         epoch_results = pipeline.to_scan_results(internal, epoch, cfg)
-        self.wh.commit("scan_results", epoch_results, epoch, mode="append")
-
-        # Persisted derived tables (SpiderStats.py:69,113-116,144-146):
-        # links/forms/pages are pure functions of THIS epoch's result slice,
-        # so the appends never re-read history (urls/onions roll up at
-        # publish_tables()).
+        sinks = [("scan_results", epoch_results)]
         if cfg.persist_derived:
             from torspider_spark.plans import stats as st
 
-            self.wh.commit("links", st.links_table(epoch_results),
-                           epoch, mode="append")
-            self.wh.commit("forms", st.forms_table(epoch_results),
-                           epoch, mode="append")
-            self.wh.commit("pages", st.pages_table(epoch_results),
-                           epoch, mode="append")
+            sinks += [("links", st.links_table(epoch_results)),
+                      ("forms", st.forms_table(epoch_results)),
+                      ("pages", st.pages_table(epoch_results))]
+        if len(sinks) == 1:
+            self.wh.commit("scan_results", epoch_results, epoch, mode="append")
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                futures = [
+                    pool.submit(self.wh.commit, name, df, epoch, "append")
+                    for name, df in sinks
+                ]
+                for fut in futures:
+                    fut.result()
 
         # E2: dedup discovered URLs against the frontier.
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()

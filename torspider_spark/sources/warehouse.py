@@ -211,13 +211,16 @@ class Warehouse:
                         meta: dict | None = None) -> dict:
         """Atomically publish one epoch of a bucketed table.
 
-        ``rewrite``/``append`` must carry the ``_bucket`` partition column.
+        ``rewrite``/``append`` must carry the ``_bucket`` partition column
+        and share one schema (they are unioned into a single write job).
         The rewrite frame is the FULL new content of every bucket it
         contains; the append frame is insert-only rows. Both are written
         with partitionBy(_bucket) in a single job each, then one manifest
         swap publishes the combined state — a crash before the swap leaves
         the table at the previous snapshot (same guarantee as commit()).
         """
+        from pyspark.sql import functions as _F
+
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         m = self.manifest(name) or {"table": name, "snapshots": [],
@@ -226,38 +229,54 @@ class Warehouse:
         m.setdefault("buckets", {})
         seq = len(m["snapshots"])
         buckets = {b: list(dirs) for b, dirs in m["buckets"].items()}
-        written = []
 
-        def _write(df: DataFrame, kind: str) -> list[str]:
-            data_dir = f"snap-{epoch:06d}-{seq:04d}-{kind}"
-            out_path = os.path.join(tdir, data_dir)
-            if os.path.exists(out_path):
-                referenced = {d for dirs in m["buckets"].values()
-                              for d in dirs}
-                for snap in m["snapshots"]:
-                    for dirs in snap.get("buckets", {}).values():
-                        referenced.update(dirs)
-                if any(d.startswith(data_dir) for d in referenced):
-                    raise RuntimeError(
-                        f"manifest corruption: {data_dir} already referenced")
-                shutil.rmtree(out_path)
-            (df.write.mode("error").partitionBy(self.BUCKET_COL)
-             .parquet(out_path))
-            written.append(data_dir)
-            return [
-                os.path.join(data_dir, e)
-                for e in sorted(os.listdir(out_path))
-                if e.startswith(f"{self.BUCKET_COL}=")
-            ]
+        data_dir = f"snap-{epoch:06d}-{seq:04d}"
+        out_path = os.path.join(tdir, data_dir)
+        if os.path.exists(out_path):
+            referenced = {d for dirs in m["buckets"].values() for d in dirs}
+            for snap in m["snapshots"]:
+                for dirs in snap.get("buckets", {}).values():
+                    referenced.update(dirs)
+            if any(d.startswith(data_dir) for d in referenced):
+                raise RuntimeError(
+                    f"manifest corruption: {data_dir} already referenced")
+            shutil.rmtree(out_path)
 
+        # ONE write job for both sides: a _kind partition column separates
+        # the rewrite ('base') rows from the insert ('delta') rows, and a
+        # repartition on (_kind, _bucket) clusters rows so each bucket is
+        # exactly one file per commit (the Iceberg write-distribution=hash
+        # behavior) — without it every task holds every bucket and the
+        # commit explodes into tasks*buckets tiny files whose listing cost
+        # taxes every later scan.
+        parts = []
         if rewrite is not None:
-            for rel in _write(rewrite, "base"):
-                bucket_id = rel.split(f"{self.BUCKET_COL}=", 1)[1]
-                buckets[bucket_id] = [rel]
+            parts.append(rewrite.withColumn("_kind", _F.lit("base")))
         if append is not None:
-            for rel in _write(append, "delta"):
-                bucket_id = rel.split(f"{self.BUCKET_COL}=", 1)[1]
-                buckets.setdefault(bucket_id, []).append(rel)
+            parts.append(append.withColumn("_kind", _F.lit("delta")))
+        if not parts:
+            raise ValueError("commit_bucketed needs rewrite and/or append")
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p)
+        (combined.repartition(_F.col("_kind"), _F.col(self.BUCKET_COL))
+         .write.mode("error").partitionBy("_kind", self.BUCKET_COL)
+         .parquet(out_path))
+        written = [data_dir]
+
+        for kind, replace in (("base", True), ("delta", False)):
+            kind_dir = os.path.join(out_path, f"_kind={kind}")
+            if not os.path.isdir(kind_dir):
+                continue
+            for entry in sorted(os.listdir(kind_dir)):
+                if not entry.startswith(f"{self.BUCKET_COL}="):
+                    continue
+                rel = os.path.join(data_dir, f"_kind={kind}", entry)
+                bucket_id = entry.split("=", 1)[1]
+                if replace:
+                    buckets[bucket_id] = [rel]
+                else:
+                    buckets.setdefault(bucket_id, []).append(rel)
 
         snapshot = {
             "id": f"snap-{epoch:06d}-{seq:04d}",
