@@ -32,7 +32,9 @@ def crawl_pair(spark, corpus_dir, tmp_path_factory):
     engine_stats = []
     sim_stats = []
     for epoch in range(1, N_EPOCHS + 1):
-        frontier = job.wh.read("frontier")
+        # the reconciled view — what the engine itself schedules from
+        # (wh.read('frontier') is the raw MOR base between compactions)
+        frontier = job.frontier_df()
         cands = candidate.select_candidates(frontier, epoch, cfg)
         engine_candidates[epoch] = sorted(
             r.url for r in cands.select("url").collect())

@@ -5,6 +5,7 @@ that happen to pass."""
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
 
 import pytest
@@ -101,7 +102,8 @@ def test_frontier_commits_touch_only_updated_buckets(spark, corpus_dir,
     from torspider_spark.config import CrawlConfig
     from torspider_spark.plans.crawl import CrawlJob
 
-    cfg = CrawlConfig(bloom_min_frontier=0, frontier_buckets=64)
+    cfg = CrawlConfig(bloom_min_frontier=0, frontier_buckets=64,
+                      frontier_mor=False)
     job = CrawlJob(spark, corpus_dir[0], str(tmp_path / "wh"), cfg)
     job.run(max_epochs=3)
     m = job.wh.manifest("frontier")
@@ -196,3 +198,76 @@ def test_merge_titles_matches_reference():
     ]
     for t1, t2 in cases:
         assert merge_titles(t1, t2) == ref_merge(t1, t2), (t1, t2)
+
+
+def test_mor_equals_cow_frontier_state(spark, corpus_dir, tmp_path):
+    """Merge-on-read (journal + reconciling view + compaction) must produce
+    the exact same frontier state as per-epoch copy-on-write, and the
+    epoch path must never rewrite base buckets between compactions."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans.crawl import CrawlJob
+
+    base_cfg = dict(bloom_min_frontier=0, host_budget_per_epoch=3,
+                    max_depth=4, max_tries=2)
+    cow = CrawlJob(spark, corpus_dir[0], str(tmp_path / "cow"),
+                   CrawlConfig(frontier_mor=False, **base_cfg))
+    cow.run(max_epochs=5)
+    mor = CrawlJob(spark, corpus_dir[0], str(tmp_path / "mor"),
+                   CrawlConfig(frontier_mor=True, mor_compact_every=3,
+                               **base_cfg))
+    mor.run(max_epochs=5)
+
+    def state(job):
+        return {(r.url, r.state, r.tries, r.last_hash, r.depth,
+                 r.last_scan_epoch, r.next_eligible_epoch)
+                for r in job.frontier_df().collect()}
+
+    assert state(mor) == state(cow)
+    # after the end-of-run compaction the raw base equals the view
+    raw = {(r.url, r.state, r.tries) for r in
+           mor.wh.read("frontier").collect()}
+    view = {(r.url, r.state, r.tries) for r in
+            mor.frontier_df().collect()}
+    assert raw == view
+    # epoch commits between compactions are append/journal only: every
+    # non-compaction frontier snapshot carries no 'base' rewrite dirs
+    m = mor.wh.manifest("frontier")
+    for snap in m["snapshots"]:
+        if snap["epoch"] == 0 or snap["meta"].get("compaction"):
+            continue
+        assert not any("_kind=base" in d
+                       for dirs in [snap["dirs"]] for d in dirs
+                       if os.path.isdir(os.path.join(
+                           mor.wh._table_dir("frontier"), d, "_kind=base"))), snap
+
+
+def test_mor_resume_mid_epoch(spark, corpus_dir, tmp_path_factory):
+    """The journal is the epoch barrier: a run killed between the insert
+    append and the journal commit re-runs that epoch idempotently."""
+    from torspider_spark.config import CrawlConfig
+    from torspider_spark.plans.crawl import CrawlJob
+
+    cfg = CrawlConfig(bloom_min_frontier=0, host_budget_per_epoch=3,
+                      max_depth=4, max_tries=2)
+    corpus, _ = corpus_dir
+    solid = CrawlJob(spark, corpus, str(tmp_path_factory.mktemp("ms")), cfg)
+    solid.run(max_epochs=4)
+
+    broken_dir = str(tmp_path_factory.mktemp("mb"))
+    broken = CrawlJob(spark, corpus, broken_dir, cfg)
+    broken.run(max_epochs=2)
+    # simulate the crash window: epoch 3's insert append published, journal
+    # commit lost — roll the journal back while the frontier keeps epoch 3
+    broken2 = CrawlJob(spark, corpus, broken_dir, cfg)
+    e3 = broken2.run_epoch(3)
+    assert e3["inserted"] >= 0
+    broken2.wh.rollback("frontier_journal", 2)
+    resumed = CrawlJob(spark, corpus, broken_dir, cfg)
+    assert resumed.resume_epoch() == 3  # journal says epoch 3 incomplete
+    resumed.run(max_epochs=2)
+
+    a = {(r.url, r.state, r.tries, r.last_hash)
+         for r in solid.frontier_df().collect()}
+    b = {(r.url, r.state, r.tries, r.last_hash)
+         for r in resumed.frontier_df().collect()}
+    assert a == b

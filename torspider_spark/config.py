@@ -51,6 +51,15 @@ class CrawlConfig:
     # point (10^10 rows => B ~ 64k of ~150k rows); 64 fits the test scale.
     frontier_buckets: int = 64
     compact_max_dirs: int = 8           # fold buckets with >= this many dirs
+    # Merge-on-read updates (Iceberg MOR analogue): per-epoch state
+    # transitions append to a small journal table; reads reconcile via a
+    # broadcast anti-join (base never shuffled); the journal folds into the
+    # bucketed base every `mor_compact_every` epochs and at end of run.
+    # Copy-on-write per epoch (frontier_mor=False) rewrites every bucket an
+    # update hashes into — O(table) once updates/epoch exceeds the bucket
+    # count, which any realistic politeness budget does.
+    frontier_mor: bool = True
+    mor_compact_every: int = 16
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
     # Persist the reference backend's derived tables (SpiderStats.py:69-146):
     # links/forms/pages appended per epoch (epoch-slice only — no recompute),

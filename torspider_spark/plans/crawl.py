@@ -17,9 +17,12 @@ Per-epoch dataflow (shuffles annotated):
                                           [AQE: broadcast when batch small]
       -> E2 URL-seen semi/anti (operators/dedup.py)
                                           [broadcast; frontier never shuffled]
-      -> E3 state merge -> bucketed MERGE INTO: rewrite only touched
-         url_hash buckets, append inserts as delta dirs [epoch barrier;
-         I/O ~ touched rows, never O(frontier)]
+      -> E3 state merge -> merge-on-read (default): post-merge rows for the
+         epoch's candidates append to a small journal, inserts append to
+         the bucketed base as delta dirs, reads reconcile via a broadcast
+         anti-join, compact_frontier folds the journal in amortized
+         [journal commit = epoch barrier; write I/O = O(candidates+inserts)]
+         (frontier_mor=False: per-epoch copy-on-write bucketed MERGE)
       -> scan_results append, metrics append
 
 The north metric (G6) — new unique URLs discovered+deduped per second of
@@ -74,7 +77,16 @@ class CrawlJob:
             meta={"source": "seeds"})
 
     def resume_epoch(self) -> int:
-        """First epoch to run: one past the last committed frontier."""
+        """First epoch to run: one past the last fully committed epoch.
+
+        In merge-on-read mode the update journal is the LAST table an epoch
+        commits, so its epoch is the completion barrier; a crash between
+        the insert append and the journal commit re-runs the epoch, which
+        is idempotent (the warehouse replaces that epoch's delta dirs)."""
+        if self.cfg.frontier_mor:
+            je = self.wh.current_epoch("frontier_journal")
+            if je is not None:
+                return je + 1
         current = self.wh.current_epoch("frontier")
         return 1 if current is None else current + 1
 
@@ -98,10 +110,79 @@ class CrawlJob:
 
     # -- one epoch -----------------------------------------------------------
 
+    # -- merge-on-read frontier view -------------------------------------
+
+    def _journal_df(self) -> DataFrame | None:
+        m = self.wh.manifest("frontier_journal")
+        if not m or not m.get("current_dirs"):
+            return None
+        return self.wh.read("frontier_journal")
+
+    def frontier_df(self) -> DataFrame:
+        """Current frontier state: the bucketed base reconciled with the
+        update journal (last writer per url_hash wins). The base STREAMS —
+        the journal is bounded by mor_compact_every epochs of updates, so
+        both the anti-join and the union are broadcast-sized."""
+        base = self.wh.read_buckets("frontier")
+        journal = self._journal_df()
+        if journal is None:
+            return base
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url_hash").orderBy(F.col("_jepoch").desc())
+        latest = (journal.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "_jepoch"))
+        return (base.join(F.broadcast(latest.select("url_hash")),
+                          "url_hash", "left_anti")
+                .unionByName(latest))
+
+    def compact_frontier(self, epoch: int) -> None:
+        """Fold the update journal into the bucketed base (amortized COW):
+        rewrite only buckets holding journal keys or over-long delta
+        chains, then truncate the journal. Crash-safe: re-applying an
+        already-folded journal row is a value-level no-op (last writer
+        wins with identical values)."""
+        journal = self._journal_df()
+        cfg = self.cfg
+        overfull = {b for b, n in self.wh.bucket_dir_counts("frontier").items()
+                    if n >= cfg.compact_max_dirs}
+        if journal is None and not overfull:
+            return
+        from pyspark.sql import Window
+
+        if journal is not None:
+            w = Window.partitionBy("url_hash").orderBy(F.col("_jepoch").desc())
+            latest = (journal.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn", "_jepoch")
+                      .persist())
+            touched = {int(r["b"]) for r in latest.select(
+                F.pmod(F.xxhash64("url_hash"),
+                       F.lit(cfg.frontier_buckets)).cast("int").alias("b"))
+                .distinct().collect()}
+        else:
+            latest = None
+            touched = set()
+        rewrite_ids = sorted(touched | overfull)
+        old_slice = self.wh.read_buckets("frontier", rewrite_ids)
+        if latest is not None:
+            new_slice = (old_slice.join(
+                F.broadcast(latest.select("url_hash")),
+                "url_hash", "left_anti").unionByName(latest))
+        else:
+            new_slice = old_slice
+        self.wh.commit_bucketed(
+            "frontier", epoch,
+            rewrite=new_slice.withColumn("_bucket", self._bucket_col()),
+            meta={"compaction": True, "buckets": len(rewrite_ids)})
+        if journal is not None:
+            self.wh.commit("frontier_journal", journal.limit(0), epoch,
+                           mode="overwrite", meta={"truncated": True})
+            latest.unpersist()
+
     def run_epoch(self, epoch: int) -> dict:
         t0 = time.time()
         cfg = self.cfg
-        frontier = self.wh.read("frontier")
+        frontier = self.frontier_df()
 
         cands = candidate.select_candidates(frontier, epoch, cfg)
         flagged = candidate.flag_robots(cands, self._robots(epoch),
@@ -154,10 +235,14 @@ class CrawlJob:
                 for fut in futures:
                     fut.result()
 
-        # E2: dedup discovered URLs against the frontier.
+        # E2: dedup discovered URLs against the frontier KEY SET. The
+        # bucketed base alone is that set (updates never add or remove
+        # keys; the journal only changes row state), so the seen-check
+        # never pays journal reconciliation.
+        base = self.wh.read_buckets("frontier")
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
         inserts = dedup.unseen_urls(
-            discovered, frontier, self.spark, self._maybe_bloom(frontier),
+            discovered, base, self.spark, self._maybe_bloom(base),
             strategy=cfg.dedup_strategy)
         inserts = inserts.persist()
         # One job yields both the per-bucket lineage and the insert total.
@@ -176,33 +261,61 @@ class CrawlJob:
             # received keys, nothing on the driver.
             self._bloom = self._bloom.merged_with(inserts)
 
-        # E3: MERGE INTO the bucketed frontier — rewrite ONLY buckets holding
-        # this epoch's updated rows (plus any buckets due for delta
-        # compaction); inserts land as append-only delta dirs. The rest of
-        # the frontier is untouched: epoch I/O is O(touched rows), never
-        # O(frontier size) — the property a 10^10-row table needs.
-        update_keys = internal.select("url_hash")
-        if blocked is not None:
-            update_keys = update_keys.unionByName(blocked.select("url_hash"))
-        touched = {
-            int(r["b"]) for r in update_keys.select(
-                F.pmod(F.xxhash64("url_hash"),
-                       F.lit(cfg.frontier_buckets)).alias("b"))
-            .distinct().collect()
-        }
-        overfull = {b for b, n in self.wh.bucket_dir_counts("frontier").items()
-                    if n >= cfg.compact_max_dirs}
-        rewrite_ids = sorted(touched | overfull)
-        old_slice = self.wh.read_buckets("frontier", rewrite_ids)
-        merged = fr.merge_scan_updates(old_slice, internal, blocked, cfg, epoch)
-        self.wh.commit_bucketed(
-            "frontier", epoch,
-            rewrite=merged.withColumn("_bucket", self._bucket_col()),
-            append=(inserts.withColumn("_bucket", self._bucket_col())
-                    if n_inserted else None),
-            meta={"candidates": n_candidates, "inserted": n_inserted,
-                  "rewritten_buckets": len(rewrite_ids),
-                  "compacted_buckets": len(overfull - touched)})
+        # E3: apply this epoch's outcomes to the frontier.
+        if cfg.frontier_mor:
+            # Merge-on-read (Iceberg MOR analogue). At any realistic
+            # politeness budget the epoch's updates hash into EVERY bucket,
+            # so per-epoch copy-on-write degenerates to a full rewrite.
+            # Instead: the post-merge rows for updated keys (the candidate
+            # rows themselves — no frontier join at all) append to a small
+            # journal; inserts append to the base as delta dirs; reads
+            # reconcile via a broadcast anti-join; compact_frontier folds
+            # the journal into the base amortized. Epoch write I/O is
+            # O(candidates + inserts), full stop.
+            updated = fr.merge_scan_updates(
+                flagged.drop("_allowed"), internal, blocked, cfg, epoch)
+            if n_inserted:
+                self.wh.commit_bucketed(
+                    "frontier", epoch,
+                    append=inserts.withColumn("_bucket", self._bucket_col()),
+                    meta={"candidates": n_candidates,
+                          "inserted": n_inserted})
+            # Journal LAST: it is the epoch's completion barrier (see
+            # resume_epoch); a crash before this commit re-runs the epoch
+            # idempotently.
+            self.wh.commit("frontier_journal",
+                           updated.withColumn("_jepoch", F.lit(epoch)),
+                           epoch, mode="append",
+                           meta={"candidates": n_candidates})
+        else:
+            # Copy-on-write MERGE: rewrite ONLY buckets holding this
+            # epoch's updated rows (plus any buckets due for delta
+            # compaction); inserts land as append-only delta dirs.
+            update_keys = internal.select("url_hash")
+            if blocked is not None:
+                update_keys = update_keys.unionByName(
+                    blocked.select("url_hash"))
+            touched = {
+                int(r["b"]) for r in update_keys.select(
+                    F.pmod(F.xxhash64("url_hash"),
+                           F.lit(cfg.frontier_buckets)).alias("b"))
+                .distinct().collect()
+            }
+            overfull = {
+                b for b, n in self.wh.bucket_dir_counts("frontier").items()
+                if n >= cfg.compact_max_dirs}
+            rewrite_ids = sorted(touched | overfull)
+            old_slice = self.wh.read_buckets("frontier", rewrite_ids)
+            merged = fr.merge_scan_updates(old_slice, internal, blocked,
+                                           cfg, epoch)
+            self.wh.commit_bucketed(
+                "frontier", epoch,
+                rewrite=merged.withColumn("_bucket", self._bucket_col()),
+                append=(inserts.withColumn("_bucket", self._bucket_col())
+                        if n_inserted else None),
+                meta={"candidates": n_candidates, "inserted": n_inserted,
+                      "rewritten_buckets": len(rewrite_ids),
+                      "compacted_buckets": len(overfull - touched)})
 
         stats = {
             "epoch": epoch,
@@ -274,8 +387,15 @@ class CrawlJob:
                       f"({stats['seconds']:.1f}s)")
             if stats["empty"]:
                 break
-        if cfg.persist_derived and history and not all(
-                h["empty"] for h in history):
+            if (cfg.frontier_mor and cfg.mor_compact_every
+                    and epoch % cfg.mor_compact_every == 0):
+                self.compact_frontier(epoch)
+        ran = [h for h in history if not h["empty"]]
+        if cfg.frontier_mor and ran:
+            # Fold the journal into the base so post-run consumers reading
+            # the bucketed table directly (wh.read) see the final state.
+            self.compact_frontier(ran[-1]["epoch"])
+        if cfg.persist_derived and ran:
             self.publish_tables()
         return history
 
@@ -298,9 +418,6 @@ class CrawlJob:
 
     def results(self) -> DataFrame:
         return self.wh.read("scan_results")
-
-    def frontier_df(self) -> DataFrame:
-        return self.wh.read("frontier")
 
     def metrics_df(self) -> DataFrame:
         return self.wh.read("metrics")

@@ -264,6 +264,20 @@ class Warehouse:
          .parquet(out_path))
         written = [data_dir]
 
+        # Idempotent epoch re-run: when this commit registers deltas, drop
+        # delta dirs a previous (crashed-after-publish) attempt of THIS
+        # epoch registered, so re-appending the same inserts never
+        # duplicates rows (epoch_dirs analogue of commit(mode='append')).
+        # Rewrite-only commits (e.g. a journal compaction later in the same
+        # epoch) leave prior delta pointers alone.
+        epoch_key = str(epoch)
+        stale = (set(m.get("epoch_deltas", {}).get(epoch_key, []))
+                 if append is not None else set())
+        if stale:
+            buckets = {b: [d for d in dirs if d not in stale]
+                       for b, dirs in buckets.items()}
+        new_deltas = []
+
         for kind, replace in (("base", True), ("delta", False)):
             kind_dir = os.path.join(out_path, f"_kind={kind}")
             if not os.path.isdir(kind_dir):
@@ -277,6 +291,9 @@ class Warehouse:
                     buckets[bucket_id] = [rel]
                 else:
                     buckets.setdefault(bucket_id, []).append(rel)
+                    new_deltas.append(rel)
+        if append is not None:
+            m["epoch_deltas"] = {epoch_key: new_deltas}
 
         snapshot = {
             "id": f"snap-{epoch:06d}-{seq:04d}",
