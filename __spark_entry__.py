@@ -59,6 +59,39 @@ def _expected_dir() -> str:
     return _CORPUS_CACHE["expected"]
 
 
+def _warc_dir(sf_dir: str) -> str:
+    """Deterministic WARC encoding of the documents table (pure Python,
+    Common-Crawl gzip-member layout) — input for the warc_roundtrip query.
+    The oracle is the ORIGINAL parquet table, so the whole
+    encode -> WARC -> Spark binaryFile+Arrow decode path is value-checked."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    import pyarrow.parquet as pq
+
+    from torspider_spark.weblib.warcio import WarcPage, write_warc
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"torspider_entry_warc_{key}")
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pylist()
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        pages = [
+            WarcPage(f"http://w{d['doc_id']:08d}.onion/doc", ts, 200,
+                     "text/html; charset=utf-8",
+                     (d["text"] or "").encode("utf-8"))
+            for d in docs
+        ]
+        write_warc(pages, os.path.join(out, "docs.warc.gz"),
+                   gzip_members=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
 def _tune(spark: SparkSession) -> None:
     """Runtime-settable conf hygiene for sessions we didn't build (the
     driver's): sane shuffle width + AQE + UTC for tiny-scale crawl jobs."""
@@ -342,6 +375,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .otherwise(0)).alias("n_redundant"),
         ).crossJoin(kept.agg(F.count("*").alias("n_kept")))
 
+    def q_warc_roundtrip(spark, sf):  # WARC source round-trip vs parquet
+        from torspider_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, _warc_dir(sf))
+        return pages.select(
+            "url", F.md5("text").alias("text_md5"),
+            F.length("text").alias("n_chars")).orderBy("url")
+
     # ---- crawl-engine queries -------------------------------------------
     # Oracles: simulator-generated expected parquet (plans/expected.py) —
     # an independent single-threaded implementation of the same semantics,
@@ -407,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "scalar_subquery": q_scalar_subquery,
         "dedup_exact_dups": q_dedup_exact_dups,
+        "warc_roundtrip": q_warc_roundtrip,
         "crawl_discoveries": q_crawl_discoveries,
         "crawl_fault_taxonomy": q_crawl_fault_taxonomy,
         "crawl_links": q_crawl_links,
@@ -575,6 +617,16 @@ def oracle_sql() -> dict[str, str]:
         "scalar_subquery": (
             "SELECT count(*) AS n_above_avg FROM orders "
             "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+        ),
+        "warc_roundtrip": (
+            # oracle = the ORIGINAL table the WARC was encoded from: checks
+            # the full encode -> gzip-member WARC -> binaryFile+Arrow
+            # decode path value-for-value.
+            "SELECT 'http://w' || lpad(CAST(doc_id AS VARCHAR), 8, '0') "
+            "|| '.onion/doc' AS url, "
+            "md5(COALESCE(text, '')) AS text_md5, "
+            "length(COALESCE(text, '')) AS n_chars "
+            "FROM documents ORDER BY url"
         ),
         "dedup_exact_dups": (
             "WITH injected AS ("
