@@ -214,7 +214,13 @@ class CrawlJob:
         # up at publish_tables()). The four commits are independent jobs
         # over the same cached slice — submit them concurrently so the
         # epoch pays max(job) wall, not sum(job).
-        epoch_results = pipeline.to_scan_results(internal, epoch, cfg)
+        # Right-size output files: ~50k rows per file, never more parts
+        # than the shuffle width (tiny epochs -> one file per sink instead
+        # of one near-empty file per task; big epochs keep parallel writes).
+        nparts = max(1, min(cfg.shuffle_partitions,
+                            int(agg["n"] or 0) // 50_000 + 1))
+        epoch_results = pipeline.to_scan_results(internal, epoch,
+                                                 cfg).coalesce(nparts)
         sinks = [("scan_results", epoch_results)]
         if cfg.persist_derived:
             from torspider_spark.plans import stats as st
@@ -235,14 +241,19 @@ class CrawlJob:
                 for fut in futures:
                     fut.result()
 
-        # E2: dedup discovered URLs against the frontier KEY SET. The
-        # bucketed base alone is that set (updates never add or remove
-        # keys; the journal only changes row state), so the seen-check
-        # never pays journal reconciliation.
+        # E2: dedup discovered URLs against the frontier KEY SET: the
+        # bucketed base plus (in merge-on-read mode) the journal's keys —
+        # inserts live in the journal until compaction folds them into the
+        # base. Key-column union only; no row reconciliation is ever paid
+        # on the dedup path.
         base = self.wh.read_buckets("frontier")
+        journal = self._journal_df()
+        seen_keys = base.select("url_hash")
+        if journal is not None:
+            seen_keys = seen_keys.unionByName(journal.select("url_hash"))
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
         inserts = dedup.unseen_urls(
-            discovered, base, self.spark, self._maybe_bloom(base),
+            discovered, seen_keys, self.spark, self._maybe_bloom(seen_keys),
             strategy=cfg.dedup_strategy)
         inserts = inserts.persist()
         # One job yields both the per-bucket lineage and the insert total.
@@ -266,27 +277,22 @@ class CrawlJob:
             # Merge-on-read (Iceberg MOR analogue). At any realistic
             # politeness budget the epoch's updates hash into EVERY bucket,
             # so per-epoch copy-on-write degenerates to a full rewrite.
-            # Instead: the post-merge rows for updated keys (the candidate
-            # rows themselves — no frontier join at all) append to a small
-            # journal; inserts append to the base as delta dirs; reads
-            # reconcile via a broadcast anti-join; compact_frontier folds
-            # the journal into the base amortized. Epoch write I/O is
-            # O(candidates + inserts), full stop.
+            # Instead BOTH the post-merge rows for updated keys (the
+            # candidate rows themselves — no frontier join at all) AND the
+            # inserts append to the journal in ONE commit; reads reconcile
+            # via a broadcast anti-join (inserts simply union in — they
+            # have no base row to mask); compact_frontier folds the journal
+            # into the bucketed base amortized. The epoch touches the base
+            # table ZERO times for writing, and the single journal commit
+            # is the epoch's atomic completion barrier (see resume_epoch).
             updated = fr.merge_scan_updates(
                 flagged.drop("_allowed"), internal, blocked, cfg, epoch)
-            if n_inserted:
-                self.wh.commit_bucketed(
-                    "frontier", epoch,
-                    append=inserts.withColumn("_bucket", self._bucket_col()),
-                    meta={"candidates": n_candidates,
-                          "inserted": n_inserted})
-            # Journal LAST: it is the epoch's completion barrier (see
-            # resume_epoch); a crash before this commit re-runs the epoch
-            # idempotently.
-            self.wh.commit("frontier_journal",
-                           updated.withColumn("_jepoch", F.lit(epoch)),
-                           epoch, mode="append",
-                           meta={"candidates": n_candidates})
+            journal_rows = updated.unionByName(inserts).withColumn(
+                "_jepoch", F.lit(epoch)).coalesce(nparts)
+            self.wh.commit("frontier_journal", journal_rows, epoch,
+                           mode="append",
+                           meta={"candidates": n_candidates,
+                                 "inserted": n_inserted})
         else:
             # Copy-on-write MERGE: rewrite ONLY buckets holding this
             # epoch's updated rows (plus any buckets due for delta
