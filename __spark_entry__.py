@@ -412,6 +412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(k, float(v)) for k, v in sorted(gathered.items())],
             "stat string, value double").orderBy("stat")
 
+    def q_crawl_hostrank(spark, sf):  # F4 domain-priority hook
+        from torspider_spark.operators.hostrank import host_rank
+        from torspider_spark.plans.stats import links_table
+        results, _ = _crawl_results(spark, epochs=2)
+        ranks = host_rank(links_table(results), iterations=5)
+        return (ranks.select("host", F.round("rank", 4).alias("rank"))
+                .orderBy("host"))
+
     def q_crawl_minhash_dedup(spark, sf):  # minhash over crawl page text
         pages = spark.read.parquet(
             os.path.join(_corpus_dir(), "pages.parquet"))
@@ -454,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_links": q_crawl_links,
         "crawl_stats": q_crawl_stats,
         "crawl_minhash_dedup": q_crawl_minhash_dedup,
+        "crawl_hostrank": q_crawl_hostrank,
     }
 
 
@@ -672,5 +681,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_minhash_dedup": (
             f"SELECT n_candidate_pairs "
             f"FROM read_parquet('{_expected_dir()}/minhash_sim.parquet')"
+        ),
+        "crawl_hostrank": (
+            f"SELECT host, round(rank, 4) AS rank "
+            f"FROM read_parquet('{_expected_dir()}/hostrank_sim.parquet') "
+            f"ORDER BY host"
         ),
     }

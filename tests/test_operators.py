@@ -194,3 +194,30 @@ def test_bloom_shards_distributed_invariants(spark):
     assert merged.probe(delta).filter("NOT _maybe").count() == 0
     assert merged.probe(base).filter("NOT _maybe").count() == 0
     merged.unpersist()
+
+
+def test_host_rank_matches_reference(spark):
+    """F4 hook: Spark host_rank equals the independent dict-based PageRank
+    (plans/expected._host_rank_reference) to 6 decimals."""
+    from torspider_spark.operators.hostrank import host_rank, priority_expr
+    from torspider_spark.plans.expected import _host_rank_reference
+
+    links = []
+    # hub h0 linked by everyone; chain h1->h2->h3; h3 links back to h0
+    for i in range(1, 4):
+        links.append((f"http://h{i}.onion/p", 1, "http://h0.onion/"))
+        links.append((f"http://h{i}.onion/p", 1, f"http://h{(i % 3) + 1}.onion/x"))
+    links.append(("http://h3.onion/q", 2, "http://h0.onion/deep"))
+    df = spark.createDataFrame(links, "src string, epoch int, dst string")
+    got = {r.host: r.rank for r in host_rank(df, iterations=5).collect()}
+    want = _host_rank_reference(links, iterations=5)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-6, h
+    assert got["h0.onion"] == max(got.values())  # the hub ranks highest
+
+    # priority_expr: higher rank -> earlier (smaller) priority per depth band
+    ranked = spark.createDataFrame(
+        [(0, 2.0), (0, 0.2)], "depth int, rank double")
+    pr = [r[0] for r in ranked.select(priority_expr()).collect()]
+    assert pr[0] < pr[1]

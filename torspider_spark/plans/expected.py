@@ -102,12 +102,42 @@ def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
     return len(pairs)
 
 
+def _host_rank_reference(links: list[tuple[str, int, str]],
+                         iterations: int = 5,
+                         damping: float = 0.85) -> dict[str, float]:
+    """Dict-based PageRank over host edges — the independent reference for
+    operators/hostrank.host_rank (same simplified formulation:
+    rank' = (1-d) + d * weighted inflow; mean-1 normalization implicit)."""
+    def host(u: str) -> str:
+        return u.split("/")[2]
+
+    weights: dict[tuple[str, str], int] = defaultdict(int)
+    for src, _epoch, dst in links:
+        a, b = host(src), host(dst)
+        if a != b:
+            weights[(a, b)] += 1
+    hosts = {a for a, _ in weights} | {b for _, b in weights}
+    out_w: dict[str, int] = defaultdict(int)
+    for (a, _b), wt in weights.items():
+        out_w[a] += wt
+    rank = {h: 1.0 for h in hosts}
+    for _ in range(iterations):
+        inflow: dict[str, float] = defaultdict(float)
+        for (a, b), wt in weights.items():
+            inflow[b] += rank[a] * wt / out_w[a]
+        rank = {h: (1.0 - damping) + damping * inflow.get(h, 0.0)
+                for h in hosts}
+    return rank
+
+
 def write_expected(corpus_dir: str, out_dir: str,
                    cfg: CrawlConfig | None = None, epochs: int = 2) -> str:
     """Run the simulator + minhash reference and write the expected tables.
     Idempotent: skips when the marker file for this epoch count exists."""
     cfg = cfg or CrawlConfig(bloom_min_frontier=0)
-    marker = os.path.join(out_dir, f"_done_e{epochs}")
+    # marker is versioned: bump when the expected-table set changes so
+    # stale caches from earlier builds regenerate.
+    marker = os.path.join(out_dir, f"_done_e{epochs}_v2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -142,6 +172,11 @@ def write_expected(corpus_dir: str, out_dir: str,
     _write(out_dir, "stats_sim.parquet", {
         "stat": sorted(stats),
         "value": pa.array([stats[k] for k in sorted(stats)], pa.float64()),
+    })
+    ranks = _host_rank_reference(links)
+    _write(out_dir, "hostrank_sim.parquet", {
+        "host": sorted(ranks),
+        "rank": pa.array([ranks[h] for h in sorted(ranks)], pa.float64()),
     })
     _write(out_dir, "minhash_sim.parquet", {
         "n_candidate_pairs": pa.array([_minhash_pair_count(corpus_dir)],
