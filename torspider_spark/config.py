@@ -52,14 +52,21 @@ class CrawlConfig:
     frontier_buckets: int = 64
     compact_max_dirs: int = 8           # fold buckets with >= this many dirs
     # Merge-on-read updates (Iceberg MOR analogue): per-epoch state
-    # transitions append to a small journal table; reads reconcile via a
-    # broadcast anti-join (base never shuffled); the journal folds into the
-    # bucketed base every `mor_compact_every` epochs and at end of run.
+    # transitions append to a small UPDATES-ONLY journal table (bounded by
+    # the politeness budget per epoch); inserts append to the bucketed base
+    # as delta dirs (zero rewrite — same fast-append path COW uses). Reads
+    # reconcile base-vs-journal via an anti-join, broadcast only while the
+    # journal is small; the journal folds into the bucketed base when it
+    # outgrows `mor_compact_rows` (size-triggered — the half of the MOR
+    # design r2 was missing), every `mor_compact_every` epochs as a
+    # fallback, and at end of run.
     # Copy-on-write per epoch (frontier_mor=False) rewrites every bucket an
     # update hashes into — O(table) once updates/epoch exceeds the bucket
     # count, which any realistic politeness budget does.
     frontier_mor: bool = True
     mor_compact_every: int = 16
+    mor_compact_rows: int = 1_000_000   # journal rows triggering compaction
+    mor_broadcast_max_rows: int = 1_000_000  # above: no broadcast hint (AQE)
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
     # Persist the reference backend's derived tables (SpiderStats.py:69-146):
     # links/forms/pages appended per epoch (epoch-slice only — no recompute),

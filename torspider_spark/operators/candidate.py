@@ -127,13 +127,21 @@ def build_robots_dim(pages: DataFrame) -> DataFrame:
 
     A pure DataFrame over the page store: the /robots.txt filter is pushed
     into the parquet scan (StartsWith/EndsWith pushdown) and only (url,
-    text) columns are read. No driver collect — at 10^10-URL scale this is
-    a normal dim-table build; the caller persists (or commits) it per
-    robots TTL. Host key = url.split('/')[2], same as the reference's
-    robots fetcher and the simulator.
+    warc_ts, text) columns are read. No driver collect — at 10^10-URL
+    scale this is a normal dim-table build; the caller persists (or
+    commits) it per robots TTL. Host key = url.split('/')[2], same as the
+    reference's robots fetcher and the simulator.
+
+    The aggregate enforces ONE row per host: multi-snapshot ingestion
+    (WARC/Common-Crawl) routinely carries several /robots.txt captures for
+    a host, and a multi-row dimension would fan out the left join in
+    flag_robots — duplicating fetches, scan_results rows, and journal rows
+    (the r1 collect-to-dict build kept one parser per host implicitly; the
+    distributed build must do it explicitly). Latest capture wins
+    (max_by warc_ts, ties broken by text to stay deterministic).
     """
-    return (
-        pages.filter(F.col("url").endswith("/robots.txt"))
-        .select(F.split(F.col("url"), "/").getItem(2).alias("host"),
-                F.col("text").alias("robots_txt"))
-    )
+    robots = pages.filter(F.col("url").endswith("/robots.txt")).select(
+        F.split(F.col("url"), "/").getItem(2).alias("host"),
+        F.col("warc_ts"), F.col("text"))
+    return robots.groupBy("host").agg(
+        F.max_by("text", F.struct("warc_ts", "text")).alias("robots_txt"))

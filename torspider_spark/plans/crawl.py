@@ -18,9 +18,11 @@ Per-epoch dataflow (shuffles annotated):
       -> E2 URL-seen semi/anti (operators/dedup.py)
                                           [broadcast; frontier never shuffled]
       -> E3 state merge -> merge-on-read (default): post-merge rows for the
-         epoch's candidates append to a small journal, inserts append to
-         the bucketed base as delta dirs, reads reconcile via a broadcast
-         anti-join, compact_frontier folds the journal in amortized
+         epoch's candidates append to a small UPDATES-ONLY journal (bounded
+         by the politeness budget), inserts append to the bucketed base as
+         delta dirs (fast-append, zero rewrite), reads reconcile base vs
+         journal via a size-guarded anti-join, compact_frontier folds the
+         journal in when it outgrows mor_compact_rows
          [journal commit = epoch barrier; write I/O = O(candidates+inserts)]
          (frontier_mor=False: per-epoch copy-on-write bucketed MERGE)
       -> scan_results append, metrics append
@@ -59,6 +61,7 @@ class CrawlJob:
         self.seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
         self._robots_dim = None
         self._robots_built_epoch = -(10**9)
+        self._robots_refreshed_at = None  # epoch of the last TTL *refresh*
         self._bloom = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -106,6 +109,13 @@ class CrawlJob:
                 self._robots_dim.unpersist()
             self._robots_dim = candidate.build_robots_dim(self.pages).persist()
             self._robots_built_epoch = epoch
+            # Every (re)build may carry loosened rules — a resumed job's
+            # FIRST build included (the corpus may have changed since the
+            # blocking epoch) — so this epoch re-evaluates robots_blocked
+            # rows and resurrects newly-allowed ones (VERDICT r2 gap #3).
+            # On a fresh crawl's first build the blocked set is empty, so
+            # the pass is a pushed-filter no-op.
+            self._robots_refreshed_at = epoch
         return self._robots_dim
 
     # -- one epoch -----------------------------------------------------------
@@ -118,43 +128,79 @@ class CrawlJob:
             return None
         return self.wh.read("frontier_journal")
 
-    def frontier_df(self) -> DataFrame:
-        """Current frontier state: the bucketed base reconciled with the
-        update journal (last writer per url_hash wins). The base STREAMS —
-        the journal is bounded by mor_compact_every epochs of updates, so
-        both the anti-join and the union are broadcast-sized."""
-        base = self.wh.read_buckets("frontier")
-        journal = self._journal_df()
-        if journal is None:
-            return base
+    def _journal_rows(self) -> int:
+        """Journal size since the last truncation — pure driver-side
+        manifest arithmetic (every append records its row count in meta),
+        so the broadcast guard and the size-triggered compaction never
+        cost a Spark job. Idempotent epoch re-runs replace that epoch's
+        dirs, so only the LAST snapshot per epoch counts."""
+        m = self.wh.manifest("frontier_journal")
+        if not m:
+            return 0
+        total, seen = 0, set()
+        for snap in reversed(m["snapshots"]):
+            if snap["mode"] == "overwrite":
+                break
+            if snap["epoch"] in seen:
+                continue
+            seen.add(snap["epoch"])
+            total += int(snap["meta"].get("rows", 0))
+        return total
+
+    def _journal_latest(self, journal: DataFrame) -> DataFrame:
+        """Last state per url_hash in the updates journal. The journal is
+        UPDATES-ONLY (bounded by politeness budget x epochs since the last
+        size-triggered compaction), so the window input is always small —
+        never the insert stream, which lives in the bucketed base."""
         from pyspark.sql import Window
 
         w = Window.partitionBy("url_hash").orderBy(F.col("_jepoch").desc())
-        latest = (journal.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1).drop("_rn", "_jepoch"))
-        return (base.join(F.broadcast(latest.select("url_hash")),
-                          "url_hash", "left_anti")
-                .unionByName(latest))
+        return (journal.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "_jepoch"))
+
+    def _guarded(self, df: DataFrame, rows: int) -> DataFrame:
+        """Broadcast hint only while provably small; above the threshold
+        let AQE pick the strategy (bucket co-location handles it on a real
+        deployment) — an unconditional hint is a driver OOM at 10^10."""
+        if rows <= self.cfg.mor_broadcast_max_rows:
+            return F.broadcast(df)
+        return df
+
+    def frontier_df(self, exclude_epoch_deltas: int | None = None
+                    ) -> DataFrame:
+        """Current frontier state: the bucketed base (rewrites + insert
+        deltas) reconciled with the updates journal (last writer per
+        url_hash wins). The base STREAMS; the journal holds only update
+        rows — inserts have no base row to mask, so they never enter the
+        reconcile at all (they ARE base rows, appended as delta dirs).
+
+        ``exclude_epoch_deltas``: re-running a crashed epoch must see the
+        pre-epoch state (see Warehouse.read_buckets)."""
+        base = self.wh.read_buckets(
+            "frontier", exclude_epoch_deltas=exclude_epoch_deltas)
+        journal = self._journal_df()
+        if journal is None:
+            return base
+        latest = self._journal_latest(journal)
+        keys = self._guarded(latest.select("url_hash"), self._journal_rows())
+        return base.join(keys, "url_hash", "left_anti").unionByName(latest)
 
     def compact_frontier(self, epoch: int) -> None:
-        """Fold the update journal into the bucketed base (amortized COW):
+        """Fold the updates journal into the bucketed base (amortized COW):
         rewrite only buckets holding journal keys or over-long delta
-        chains, then truncate the journal. Crash-safe: re-applying an
-        already-folded journal row is a value-level no-op (last writer
-        wins with identical values)."""
+        chains (insert deltas accumulate one dir per epoch until
+        compact_max_dirs folds them), then truncate the journal.
+        Crash-safe: re-applying an already-folded journal row is a
+        value-level no-op (last writer wins with identical values)."""
         journal = self._journal_df()
         cfg = self.cfg
         overfull = {b for b, n in self.wh.bucket_dir_counts("frontier").items()
                     if n >= cfg.compact_max_dirs}
         if journal is None and not overfull:
             return
-        from pyspark.sql import Window
-
         if journal is not None:
-            w = Window.partitionBy("url_hash").orderBy(F.col("_jepoch").desc())
-            latest = (journal.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") == 1).drop("_rn", "_jepoch")
-                      .persist())
+            jrows = self._journal_rows()
+            latest = self._journal_latest(journal).persist()
             touched = {int(r["b"]) for r in latest.select(
                 F.pmod(F.xxhash64("url_hash"),
                        F.lit(cfg.frontier_buckets)).cast("int").alias("b"))
@@ -166,7 +212,7 @@ class CrawlJob:
         old_slice = self.wh.read_buckets("frontier", rewrite_ids)
         if latest is not None:
             new_slice = (old_slice.join(
-                F.broadcast(latest.select("url_hash")),
+                self._guarded(latest.select("url_hash"), jrows),
                 "url_hash", "left_anti").unionByName(latest))
         else:
             new_slice = old_slice
@@ -179,14 +225,40 @@ class CrawlJob:
                            mode="overwrite", meta={"truncated": True})
             latest.unpersist()
 
+    def _revived_view(self, frontier: DataFrame, robots_dim,
+                      epoch: int) -> DataFrame:
+        """robots_blocked rows newly allowed under the refreshed rules,
+        transitioned back to pending and eligible this epoch (2.J
+        resurrection — the reference never blocks, so this is engine
+        policy: a loosened robots.txt must not strand URLs forever)."""
+        blocked = frontier.filter(F.col("state") == "robots_blocked")
+        flg = candidate.flag_robots(blocked, robots_dim, self.cfg)
+        return (flg.filter(F.col("_allowed")).drop("_allowed")
+                .withColumn("state", F.lit("pending"))
+                .withColumn("next_eligible_epoch",
+                            F.lit(epoch).cast("int")))
+
     def run_epoch(self, epoch: int) -> dict:
         t0 = time.time()
         cfg = self.cfg
-        frontier = self.frontier_df()
+        robots_dim = self._robots(epoch)
+        frontier = self.frontier_df(exclude_epoch_deltas=epoch)
 
-        cands = candidate.select_candidates(frontier, epoch, cfg)
-        flagged = candidate.flag_robots(cands, self._robots(epoch),
-                                        cfg).persist()
+        # Robots resurrection: on TTL-refresh epochs, newly-allowed
+        # robots_blocked rows re-enter scheduling as pending rows. The
+        # originals are not 'pending' so the union introduces no duplicate
+        # eligible rows; the state transition is persisted below (journal
+        # row in MOR / merge update in COW) for rows NOT superseded by an
+        # actual scan this very epoch.
+        revived = None
+        if robots_dim is not None and self._robots_refreshed_at == epoch:
+            revived = self._revived_view(frontier, robots_dim,
+                                         epoch).persist()
+
+        cand_src = frontier if revived is None else frontier.unionByName(
+            revived)
+        cands = candidate.select_candidates(cand_src, epoch, cfg)
+        flagged = candidate.flag_robots(cands, robots_dim, cfg).persist()
         counts = {bool(r["_allowed"]): r["count"]
                   for r in flagged.groupBy("_allowed").count().collect()}
         n_candidates = counts.get(True, 0)
@@ -196,8 +268,9 @@ class CrawlJob:
         if n_candidates == 0 and n_blocked == 0:
             flagged.unpersist()
             return {"epoch": epoch, "candidates": 0, "blocked": 0,
-                    "posted": 0, "discovered": 0, "inserted": 0,
-                    "seconds": time.time() - t0, "empty": True}
+                    "revived": 0, "posted": 0, "discovered": 0,
+                    "inserted": 0, "seconds": time.time() - t0,
+                    "empty": True}
 
         internal = pipeline.run_scan(allowed, self.pages_meta, self.pages,
                                      cfg).persist()
@@ -228,29 +301,13 @@ class CrawlJob:
             sinks += [("links", st.links_table(epoch_results)),
                       ("forms", st.forms_table(epoch_results)),
                       ("pages", st.pages_table(epoch_results))]
-        if len(sinks) == 1:
-            self.wh.commit("scan_results", epoch_results, epoch, mode="append")
-        else:
-            from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-                futures = [
-                    pool.submit(self.wh.commit, name, df, epoch, "append")
-                    for name, df in sinks
-                ]
-                for fut in futures:
-                    fut.result()
-
-        # E2: dedup discovered URLs against the frontier KEY SET: the
-        # bucketed base plus (in merge-on-read mode) the journal's keys —
-        # inserts live in the journal until compaction folds them into the
-        # base. Key-column union only; no row reconciliation is ever paid
-        # on the dedup path.
-        base = self.wh.read_buckets("frontier")
-        journal = self._journal_df()
-        seen_keys = base.select("url_hash")
-        if journal is not None:
-            seen_keys = seen_keys.unionByName(journal.select("url_hash"))
+        # E2: dedup discovered URLs against the frontier KEY SET — just the
+        # bucketed base: inserts land in the base as delta dirs, and the
+        # journal holds only updates (existing keys), so base keys ARE the
+        # seen set. No reconcile, no union, is ever paid on the dedup path.
+        seen_keys = self.wh.read_buckets(
+            "frontier", exclude_epoch_deltas=epoch).select("url_hash")
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
         inserts = dedup.unseen_urls(
             discovered, seen_keys, self.spark, self._maybe_bloom(seen_keys),
@@ -272,27 +329,80 @@ class CrawlJob:
             # received keys, nothing on the driver.
             self._bloom = self._bloom.merged_with(inserts)
 
+        # Resurrected rows not superseded by an actual scan this epoch —
+        # these persist as-is (pending); scanned ones ride the normal
+        # update path, whose input row is the revived view in both modes.
+        revived_only = None
+        n_revived = 0
+        if revived is not None:
+            revived_only = revived.join(flagged.select("url_hash"),
+                                        "url_hash", "left_anti")
+            n_revived = revived_only.count()
+
         # E3: apply this epoch's outcomes to the frontier.
         if cfg.frontier_mor:
-            # Merge-on-read (Iceberg MOR analogue). At any realistic
-            # politeness budget the epoch's updates hash into EVERY bucket,
-            # so per-epoch copy-on-write degenerates to a full rewrite.
-            # Instead BOTH the post-merge rows for updated keys (the
-            # candidate rows themselves — no frontier join at all) AND the
-            # inserts append to the journal in ONE commit; reads reconcile
-            # via a broadcast anti-join (inserts simply union in — they
-            # have no base row to mask); compact_frontier folds the journal
-            # into the bucketed base amortized. The epoch touches the base
-            # table ZERO times for writing, and the single journal commit
-            # is the epoch's atomic completion barrier (see resume_epoch).
+            # Merge-on-read (Iceberg MOR analogue). The post-merge rows for
+            # updated keys (the candidate rows themselves — no frontier
+            # join at all) append to the UPDATES-ONLY journal; inserts
+            # append to the bucketed base as delta dirs (the same
+            # fast-append path COW uses — they have no base row to mask,
+            # so keeping them out of the journal keeps the read-path
+            # reconcile bounded by the politeness budget, not by discovery
+            # volume: r2's scaling regression was exactly inserts riding
+            # the journal). The delta append rides the concurrent sink
+            # pool below; the journal commit stays LAST — it is the
+            # epoch's atomic completion barrier (see resume_epoch), and a
+            # crash before it re-runs the epoch against the pre-epoch base
+            # (exclude_epoch_deltas) with every other commit idempotent.
             updated = fr.merge_scan_updates(
                 flagged.drop("_allowed"), internal, blocked, cfg, epoch)
-            journal_rows = updated.unionByName(inserts).withColumn(
+            if revived_only is not None:
+                updated = updated.unionByName(revived_only)
+            if n_inserted:
+                sinks.append(("frontier", inserts))
+        else:
+            updated = None
+
+        def _commit_sink(name, df):
+            if name == "frontier":
+                return self.wh.commit_bucketed(
+                    "frontier", epoch,
+                    append=df.withColumn("_bucket", self._bucket_col()),
+                    meta={"inserted": n_inserted})
+            return self.wh.commit(name, df, epoch, mode="append")
+
+        # The sink commits (scan_results/links/forms/pages/frontier-delta)
+        # are independent jobs over the same cached slices — submit them
+        # concurrently so the epoch pays max(job) wall, not sum(job).
+        if len(sinks) == 1:
+            _commit_sink(*sinks[0])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                futures = [pool.submit(_commit_sink, name, df)
+                           for name, df in sinks]
+                for fut in futures:
+                    fut.result()
+
+        if cfg.frontier_mor:
+            n_updates = n_candidates + n_blocked + n_revived
+            journal_rows = updated.withColumn(
                 "_jepoch", F.lit(epoch)).coalesce(nparts)
+            stats_meta = {
+                "rows": n_updates, "candidates": n_candidates,
+                "blocked": n_blocked, "inserted": n_inserted,
+                "revived": n_revived,
+                "posted": int(agg["posted"] or 0),
+                "discovered": int(agg["discovered"] or 0),
+                # For crash backfill of the metrics row (the journal is the
+                # barrier; metrics commit after it — see _backfill_metrics).
+                "epoch_millis": int((time.time() - t0) * 1000),
+                "bucket_rows": [[int(r["b"]), int(r["count"])]
+                                for r in bucket_rows],
+            }
             self.wh.commit("frontier_journal", journal_rows, epoch,
-                           mode="append",
-                           meta={"candidates": n_candidates,
-                                 "inserted": n_inserted})
+                           mode="append", meta=stats_meta)
         else:
             # Copy-on-write MERGE: rewrite ONLY buckets holding this
             # epoch's updated rows (plus any buckets due for delta
@@ -301,6 +411,9 @@ class CrawlJob:
             if blocked is not None:
                 update_keys = update_keys.unionByName(
                     blocked.select("url_hash"))
+            if revived is not None:
+                update_keys = update_keys.unionByName(
+                    revived.select("url_hash"))
             touched = {
                 int(r["b"]) for r in update_keys.select(
                     F.pmod(F.xxhash64("url_hash"),
@@ -312,6 +425,14 @@ class CrawlJob:
                 if n >= cfg.compact_max_dirs}
             rewrite_ids = sorted(touched | overfull)
             old_slice = self.wh.read_buckets("frontier", rewrite_ids)
+            if revived is not None:
+                # Substitute the revived view rows for their blocked
+                # originals BEFORE the merge, so both storage modes apply
+                # scan updates to identical input rows (MOR's update path
+                # already sees the view via the candidate slice).
+                old_slice = (old_slice.join(revived.select("url_hash"),
+                                            "url_hash", "left_anti")
+                             .unionByName(revived))
             merged = fr.merge_scan_updates(old_slice, internal, blocked,
                                            cfg, epoch)
             self.wh.commit_bucketed(
@@ -320,6 +441,12 @@ class CrawlJob:
                 append=(inserts.withColumn("_bucket", self._bucket_col())
                         if n_inserted else None),
                 meta={"candidates": n_candidates, "inserted": n_inserted,
+                      "posted": int(agg["posted"] or 0),
+                      "discovered": int(agg["discovered"] or 0),
+                      "blocked": n_blocked, "revived": n_revived,
+                      "epoch_millis": int((time.time() - t0) * 1000),
+                      "bucket_rows": [[int(r["b"]), int(r["count"])]
+                                      for r in bucket_rows],
                       "rewritten_buckets": len(rewrite_ids),
                       "compacted_buckets": len(overfull - touched)})
 
@@ -327,6 +454,7 @@ class CrawlJob:
             "epoch": epoch,
             "candidates": n_candidates,
             "blocked": n_blocked,
+            "revived": n_revived,
             "posted": int(agg["posted"] or 0),
             "discovered": int(agg["discovered"] or 0),
             "inserted": n_inserted,
@@ -337,7 +465,10 @@ class CrawlJob:
             n_inserted / stats["seconds"] if stats["seconds"] > 0 else 0.0)
         self._commit_metrics(epoch, stats, bucket_rows)
 
-        for df in (flagged, internal, discovered, inserts):
+        drop = [flagged, internal, discovered, inserts]
+        if revived is not None:
+            drop.append(revived)
+        for df in drop:
             df.unpersist()
         return stats
 
@@ -364,14 +495,41 @@ class CrawlJob:
         bucket(url_hash) layout would record per data file)."""
         rows = [
             (epoch, -1, name, int(stats[name]))
-            for name in ("candidates", "blocked", "posted", "discovered",
-                         "inserted")
+            for name in ("candidates", "blocked", "revived", "posted",
+                         "discovered", "inserted")
         ]
         rows.append((epoch, -1, "epoch_millis", int(stats["seconds"] * 1000)))
         rows.extend((epoch, int(r["b"]), "inserted_bucket_rows", int(r["count"]))
                     for r in bucket_rows)
         df = self.spark.createDataFrame(rows, schema=METRICS)
         self.wh.commit("metrics", df, epoch, mode="append")
+
+    def _backfill_metrics(self) -> None:
+        """Heal the metrics table on resume (ADVICE r2): the epoch barrier
+        (journal commit in MOR / frontier commit in COW) precedes the
+        metrics commit, so a crash in that window completes the epoch but
+        loses its metrics row. Every barrier commit's meta carries the full
+        counter set, so the row is reconstructible driver-side."""
+        mm = self.wh.manifest("metrics")
+        have = set((mm or {}).get("epoch_dirs", {}).keys())
+        barrier = "frontier_journal" if self.cfg.frontier_mor else "frontier"
+        bm = self.wh.manifest(barrier)
+        if not bm:
+            return
+        byepoch: dict[int, dict] = {}
+        for snap in bm["snapshots"]:
+            if "epoch_millis" in snap.get("meta", {}):
+                byepoch[snap["epoch"]] = snap["meta"]  # last attempt wins
+        for epoch, meta in sorted(byepoch.items()):
+            if str(epoch) in have:
+                continue
+            stats = {k: int(meta.get(k, 0))
+                     for k in ("candidates", "blocked", "revived", "posted",
+                               "discovered", "inserted")}
+            stats["seconds"] = meta["epoch_millis"] / 1000.0
+            bucket_rows = [{"b": b, "count": n}
+                           for b, n in meta.get("bucket_rows", [])]
+            self._commit_metrics(epoch, stats, bucket_rows)
 
     # -- the loop ------------------------------------------------------------
 
@@ -381,21 +539,38 @@ class CrawlJob:
         cfg = self.cfg
         limit = max_epochs or cfg.max_epochs
         start = self.resume_epoch()
+        if start > 1:
+            self._backfill_metrics()
         history: list[dict] = []
         for epoch in range(start, start + limit):
             if self.stop_requested():
                 break
             stats = self.run_epoch(epoch)
             history.append(stats)
+            if stats["empty"]:
+                if verbose:
+                    print(f"[epoch {epoch}] empty frontier")
+                break
+            # Compaction is SIZE-triggered (journal outgrew
+            # mor_compact_rows — the missing half of r2's MOR design: an
+            # epoch-counted trigger lets the journal grow unboundedly at
+            # high update rates), with the epoch counter as a fallback for
+            # slow crawls. Its wall time is attributed to the triggering
+            # epoch (compact_seconds) so benchmarks can't hide it.
+            if cfg.frontier_mor and (
+                    (cfg.mor_compact_rows
+                     and self._journal_rows() >= cfg.mor_compact_rows)
+                    or (cfg.mor_compact_every
+                        and epoch % cfg.mor_compact_every == 0)):
+                tc = time.time()
+                self.compact_frontier(epoch)
+                stats["compact_seconds"] = time.time() - tc
             if verbose:
                 print(f"[epoch {epoch}] candidates={stats['candidates']} "
                       f"posted={stats['posted']} inserted={stats['inserted']} "
-                      f"({stats['seconds']:.1f}s)")
-            if stats["empty"]:
-                break
-            if (cfg.frontier_mor and cfg.mor_compact_every
-                    and epoch % cfg.mor_compact_every == 0):
-                self.compact_frontier(epoch)
+                      f"({stats['seconds']:.1f}s"
+                      + (f" +{stats['compact_seconds']:.1f}s compact"
+                         if "compact_seconds" in stats else "") + ")")
         ran = [h for h in history if not h["empty"]]
         if cfg.frontier_mor and ran:
             # Fold the journal into the base so post-run consumers reading

@@ -153,9 +153,22 @@ class Warehouse:
         if not keep:
             raise ValueError(f"no snapshot at or before epoch {epoch}")
         m["snapshots"] = keep
-        m["current_dirs"] = keep[-1]["dirs"]
         if "buckets" in keep[-1]:
+            # Bucketed snapshot: its 'dirs' records only the top-level snap
+            # dir IT wrote; the readable state is the bucket map (pointers
+            # into earlier snap dirs included). Rebuild current_dirs from it,
+            # mirroring commit_bucketed's publish — restoring 'dirs' alone
+            # would silently drop every bucket written by earlier snapshots.
             m["buckets"] = keep[-1]["buckets"]
+            m["current_dirs"] = sorted({d for dirs in m["buckets"].values()
+                                        for d in dirs})
+            live = {d for dirs in m["buckets"].values() for d in dirs}
+            m["epoch_deltas"] = {
+                k: [d for d in v if d in live]
+                for k, v in m.get("epoch_deltas", {}).items()
+                if int(k) <= epoch}
+        else:
+            m["current_dirs"] = keep[-1]["dirs"]
         m["epoch_dirs"] = {str(keep[-1]["epoch"]): keep[-1]["dirs"]}
         self._publish(name, m)
 
@@ -180,17 +193,28 @@ class Warehouse:
 
     BUCKET_COL = "_bucket"
 
-    def read_buckets(self, name: str, bucket_ids=None) -> DataFrame:
+    def read_buckets(self, name: str, bucket_ids=None,
+                     exclude_epoch_deltas: int | None = None) -> DataFrame:
         """Read a bucketed table (optionally only the given buckets) —
-        bucket-level pruning the way an Iceberg partition filter would."""
+        bucket-level pruning the way an Iceberg partition filter would.
+
+        ``exclude_epoch_deltas``: skip delta dirs appended for that epoch.
+        A re-run of a crashed epoch must read the PRE-epoch state — if the
+        crashed attempt's insert deltas stayed visible, the dedup anti-join
+        would drop the re-discovered URLs while the re-commit replaces (and
+        thereby empties) those delta dirs, losing the rows entirely."""
         m = self.manifest(name)
         if m is None or "buckets" not in m:
             raise FileNotFoundError(f"bucketed table not found: {name}")
         buckets = m["buckets"]
+        skip = (set(m.get("epoch_deltas", {}).get(
+                    str(exclude_epoch_deltas), []))
+                if exclude_epoch_deltas is not None else set())
         ids = (sorted(buckets) if bucket_ids is None
                else [str(b) for b in bucket_ids])
         paths = [os.path.join(self._table_dir(name), d)
-                 for b in ids for d in buckets.get(str(b), [])]
+                 for b in ids for d in buckets.get(str(b), [])
+                 if d not in skip]
         if not paths:
             # Preserve schema for empty selections via an empty frame over
             # any existing dir, else fail (nothing ever committed).
