@@ -130,6 +130,17 @@ def _crawl_results(spark: SparkSession, epochs: int = 2):
     return wh.read("scan_results"), wh.read("frontier")
 
 
+def _crawl_warehouse(spark: SparkSession, epochs: int = 2):
+    """The committed warehouse behind _crawl_results — the per-table oracle
+    queries read the PERSISTED backend tables (urls/onions/links/forms/
+    pages) from it, so the persistence path itself is oracle-checked, not
+    just the on-the-fly derivations."""
+    from torspider_spark.sources.warehouse import Warehouse
+
+    _crawl_results(spark, epochs)
+    return Warehouse(spark, _CORPUS_CACHE[f"crawl{epochs}"])
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship query
 # ---------------------------------------------------------------------------
@@ -420,6 +431,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ranks.select("host", F.round("rank", 4).alias("rank"))
                 .orderBy("host"))
 
+    # Per-table oracle queries over the PERSISTED warehouse tables
+    # (VERDICT r2 #5): full-row value checks against simulator-written
+    # expected parquet — the commit path itself is under the oracle.
+
+    def q_crawl_urls_table(spark, sf):  # G1/G2 backing table as committed
+        return (_crawl_warehouse(spark).read("urls")
+                .select("url", "host", "state", "depth", "date")
+                .orderBy("url"))
+
+    def q_crawl_onions_table(spark, sf):  # G3 + C6 titles as committed
+        return (_crawl_warehouse(spark).read("onions")
+                .select("host", "last_online", "online", "title")
+                .orderBy("host"))
+
+    def q_crawl_pages_table(spark, sf):  # stored page versions as committed
+        return (_crawl_warehouse(spark).read("pages")
+                .select("url", "host", "epoch", "hash", "title")
+                .orderBy("url", "epoch"))
+
+    def q_crawl_forms_table(spark, sf):  # C4 JSON rows as committed
+        return (_crawl_warehouse(spark).read("forms")
+                .select("url", "epoch", "form_json")
+                .orderBy("url", "epoch", "form_json"))
+
+    def q_crawl_links_table(spark, sf):  # link edges as committed
+        return (_crawl_warehouse(spark).read("links")
+                .select("src", "epoch", "dst")
+                .orderBy("src", "epoch", "dst"))
+
     def q_crawl_minhash_dedup(spark, sf):  # minhash over crawl page text
         pages = spark.read.parquet(
             os.path.join(_corpus_dir(), "pages.parquet"))
@@ -461,6 +501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fault_taxonomy": q_crawl_fault_taxonomy,
         "crawl_links": q_crawl_links,
         "crawl_stats": q_crawl_stats,
+        "crawl_urls_table": q_crawl_urls_table,
+        "crawl_onions_table": q_crawl_onions_table,
+        "crawl_pages_table": q_crawl_pages_table,
+        "crawl_forms_table": q_crawl_forms_table,
+        "crawl_links_table": q_crawl_links_table,
         "crawl_minhash_dedup": q_crawl_minhash_dedup,
         "crawl_hostrank": q_crawl_hostrank,
     }
@@ -677,6 +722,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT stat, value "
             f"FROM read_parquet('{_expected_dir()}/stats_sim.parquet') "
             f"ORDER BY stat"
+        ),
+        "crawl_urls_table": (
+            f"SELECT url, host, state, depth, date "
+            f"FROM read_parquet('{_expected_dir()}/urls_sim.parquet') "
+            f"ORDER BY url"
+        ),
+        "crawl_onions_table": (
+            f"SELECT host, last_online, online, title "
+            f"FROM read_parquet('{_expected_dir()}/onions_sim.parquet') "
+            f"ORDER BY host"
+        ),
+        "crawl_pages_table": (
+            f"SELECT url, host, epoch, hash, title "
+            f"FROM read_parquet('{_expected_dir()}/pages_sim.parquet') "
+            f"ORDER BY url, epoch"
+        ),
+        "crawl_forms_table": (
+            f"SELECT url, epoch, form_json "
+            f"FROM read_parquet('{_expected_dir()}/forms_sim.parquet') "
+            f"ORDER BY url, epoch, form_json"
+        ),
+        "crawl_links_table": (
+            f"SELECT src, epoch, dst "
+            f"FROM read_parquet('{_expected_dir()}/links_sim.parquet') "
+            f"ORDER BY src, epoch, dst"
         ),
         "crawl_minhash_dedup": (
             f"SELECT n_candidate_pairs "

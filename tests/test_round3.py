@@ -1,0 +1,274 @@
+"""Round-3 behaviors: robots resurrection on TTL refresh, size-triggered
+journal compaction, bucketed rollback state rebuild, metrics backfill on
+resume, one-row-per-host robots dimension, and the updates-only journal
+invariants (the E2 dedup path never pays the reconcile)."""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.plans.crawl import CrawlJob
+
+BASE = dict(bloom_min_frontier=0, host_budget_per_epoch=3, max_depth=4,
+            max_tries=2)
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _loosen_robots(src_dir: str, out_dir: str) -> None:
+    """Corpus copy whose every robots.txt becomes allow-all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(src_dir, "pages.parquet"))
+    rows = tbl.to_pylist()
+    for r in rows:
+        if r["url"].endswith("/robots.txt"):
+            r["text"] = "User-agent: *\nDisallow:\n"
+            r["html"] = r["text"].encode("utf-8")
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema),
+                   os.path.join(out_dir, "pages.parquet"))
+    for name in ("pages_meta.parquet", "seeds.parquet"):
+        shutil.copyfile(os.path.join(src_dir, name),
+                        os.path.join(out_dir, name))
+
+
+@pytest.mark.parametrize("mor", [True, False], ids=["mor", "cow"])
+def test_robots_resurrection_matches_simulator(spark, corpus_dir, tmp_path,
+                                               mor):
+    """2.J resurrection: a loosened robots.txt must unblock previously
+    robots_blocked URLs on the next TTL refresh, and the engine's full
+    frontier state must agree with the independent simulator running the
+    same corpus swap (VERDICT r2 gap #3)."""
+    from torspider_spark.plans.simulator import simulator_from_corpus_dir
+
+    corpus_a, _ = corpus_dir
+    corpus_b = str(tmp_path / "loosened")
+    _loosen_robots(corpus_a, corpus_b)
+    cfg = CrawlConfig(frontier_mor=mor, robots_ttl_epochs=1000, **BASE)
+    work = str(tmp_path / "wh")
+
+    phase1 = CrawlJob(spark, corpus_a, work, cfg)
+    phase1.run(max_epochs=8)  # enough for the robots gate to fire
+    blocked_before = phase1.frontier_df().filter(
+        F.col("state") == "robots_blocked").count()
+    assert blocked_before > 0, "corpus must actually block something"
+
+    # New process over the loosened corpus: the first epoch rebuilds the
+    # robots dimension (TTL bookkeeping restarts) and resurrects.
+    phase2 = CrawlJob(spark, corpus_b, work, cfg)
+    history = phase2.run(max_epochs=3)
+    assert phase2.frontier_df().filter(
+        F.col("state") == "robots_blocked").count() == 0
+
+    # Independent simulator runs the identical two-phase protocol.
+    sim = simulator_from_corpus_dir(corpus_a, cfg)
+    sim.run(max_epochs=8)
+    import pyarrow.parquet as pq
+    pages_b = {
+        r["url"]: (r["html"], r["text"])
+        for r in pq.read_table(
+            os.path.join(corpus_b, "pages.parquet")).to_pylist()}
+    meta_b = {r["url"]: r for r in pq.read_table(
+        os.path.join(corpus_b, "pages_meta.parquet")).to_pylist()}
+    first_resumed = history[0]["epoch"]
+    sim.refresh_corpus(pages_b, meta_b, first_resumed)
+    for h in history:
+        sim.run_epoch(h["epoch"])
+
+    got = {(r.url, r.state, r.tries, r.last_hash)
+           for r in phase2.frontier_df().collect()}
+    want = {(r.url, r.state, r.tries, r.last_hash)
+            for r in sim.frontier.values()}
+    assert got == want
+
+
+def test_size_triggered_compaction(spark, corpus_dir, tmp_path):
+    """The journal must fold into the base when it outgrows
+    mor_compact_rows, regardless of the epoch counter (the missing half of
+    r2's MOR design), and compaction must not change frontier state."""
+    corpus, _ = corpus_dir
+    cow = CrawlJob(spark, corpus, str(tmp_path / "cow"),
+                   CrawlConfig(frontier_mor=False, **BASE))
+    cow.run(max_epochs=5)
+
+    cfg = CrawlConfig(frontier_mor=True, mor_compact_rows=10,
+                      mor_compact_every=10_000, **BASE)
+    job = CrawlJob(spark, corpus, str(tmp_path / "mor"), cfg)
+    job.run(max_epochs=5)
+
+    m = job.wh.manifest("frontier")
+    mid_run = [s for s in m["snapshots"]
+               if s["meta"].get("compaction") and s["epoch"] < 5]
+    assert mid_run, "size trigger never fired before the end-of-run fold"
+    # after every compaction the journal restarts from zero
+    jm = job.wh.manifest("frontier_journal")
+    assert any(s["mode"] == "overwrite" for s in jm["snapshots"])
+    assert job._journal_rows() == 0  # end-of-run fold truncated it
+
+    a = {(r.url, r.state, r.tries, r.last_hash)
+         for r in job.frontier_df().collect()}
+    b = {(r.url, r.state, r.tries, r.last_hash)
+         for r in cow.frontier_df().collect()}
+    assert a == b
+
+
+def test_journal_is_updates_only(spark, corpus_dir, tmp_path):
+    """Every journal row must update an EXISTING base key — inserts ride
+    the bucketed delta appends, never the journal (r2's scaling killer was
+    inserts riding the journal into a per-epoch forced broadcast)."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(frontier_mor=True, mor_compact_every=10_000,
+                      mor_compact_rows=10**9, **BASE)
+    job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
+    job.bootstrap()
+    for epoch in (1, 2, 3):
+        job.run_epoch(epoch)
+    journal = job._journal_df()
+    assert journal is not None and journal.count() > 0
+    base_keys = job.wh.read_buckets("frontier").select("url_hash")
+    orphans = journal.select("url_hash").distinct().join(
+        base_keys, "url_hash", "left_anti").count()
+    assert orphans == 0
+    # driver-side manifest arithmetic must agree with the actual row count
+    assert job._journal_rows() == journal.count()
+
+
+def test_dedup_path_never_reconciles_journal(spark, corpus_dir, tmp_path):
+    """VERDICT r3 item #3: the E2 seen-key set is the bucketed base alone —
+    its plan must contain no window and no journal scan, and the reconcile
+    window must appear only in frontier_df()."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(frontier_mor=True, mor_compact_every=10_000,
+                      mor_compact_rows=10**9, **BASE)
+    job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
+    job.bootstrap()
+    for epoch in (1, 2):
+        job.run_epoch(epoch)
+    assert job._journal_rows() > 0  # journal non-empty: reconcile is live
+
+    seen_plan = _explain(
+        job.wh.read_buckets("frontier",
+                            exclude_epoch_deltas=3).select("url_hash"))
+    assert "Window" not in seen_plan
+    assert "frontier_journal" not in seen_plan
+    view_plan = _explain(job.frontier_df())
+    assert "Window" in view_plan  # the reconcile lives on the read path only
+
+
+def test_metrics_backfill_on_resume(spark, corpus_dir, tmp_path):
+    """A crash between the journal barrier and the metrics commit loses the
+    epoch's metrics row; resume must reconstruct it from the barrier
+    commit's meta (ADVICE r2, plans/crawl._backfill_metrics)."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(**BASE)
+    work = str(tmp_path / "wh")
+    job = CrawlJob(spark, corpus, work, cfg)
+    job.run(max_epochs=3)
+    before = {(r.epoch, r.partition_id, r.metric, r.value)
+              for r in job.metrics_df().collect()}
+    # simulate the crash window: epoch 3 completed (journal committed) but
+    # its metrics row vanished
+    job.wh.rollback("metrics", 2)
+    assert not any(r.epoch == 3 for r in job.metrics_df().collect())
+
+    resumed = CrawlJob(spark, corpus, work, cfg)
+    assert resumed.resume_epoch() == 4
+    resumed.run(max_epochs=1)
+    after = {(r.epoch, r.partition_id, r.metric, r.value)
+             for r in resumed.metrics_df().collect()}
+    lost = {(e, b, n, v) for (e, b, n, v) in before
+            if e == 3 and n != "epoch_millis"}
+    restored = {(e, b, n, v) for (e, b, n, v) in after
+                if e == 3 and n != "epoch_millis"}
+    assert lost == restored
+    # epoch_millis is reconstructed too (value = the original attempt's)
+    assert any(e == 3 and n == "epoch_millis" for (e, b, n, v) in after)
+
+
+def test_bucketed_rollback_rebuilds_state(spark, corpus_dir, tmp_path):
+    """ADVICE r2: rolling back a bucketed table must rebuild current_dirs
+    from the restored bucket map — wh.read() and wh.read_buckets() must
+    agree, and the state must equal a run stopped at that epoch."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(frontier_mor=False, **BASE)
+    work = str(tmp_path / "wh")
+    job = CrawlJob(spark, corpus, work, cfg)
+    job.run(max_epochs=2)
+    at2 = {(r.url, r.state, r.tries) for r in
+           job.wh.read_buckets("frontier").collect()}
+
+    job2 = CrawlJob(spark, corpus, work, cfg)
+    job2.run(max_epochs=2)  # epochs 3-4 advance the table
+    job2.wh.rollback("frontier", 2)
+
+    via_read = {(r.url, r.state, r.tries) for r in
+                job2.wh.read("frontier").select(
+                    "url", "state", "tries").collect()}
+    via_buckets = {(r.url, r.state, r.tries) for r in
+                   job2.wh.read_buckets("frontier").collect()}
+    assert via_read == via_buckets == at2
+
+
+def test_structured_event_log(spark, corpus_dir, tmp_path):
+    """A-family logging analogue (VERDICT r2 #7): per-epoch structured
+    events (component, level, message) land in a queryable warehouse table
+    alongside metrics, mirroring the reference's rotating logger role."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(mor_compact_rows=10, mor_compact_every=10_000, **BASE)
+    job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
+    history = job.run(max_epochs=3)
+    events = job.events_df().collect()
+    assert events
+    comps = {r.component for r in events}
+    assert {"crawl", "robots", "frontier"} <= comps
+    assert all(r.level in ("debug", "info", "warning", "error") and r.message
+               for r in events)
+    # one summary line per non-empty epoch
+    summaries = [r for r in events
+                 if r.component == "crawl" and r.message.startswith("epoch")]
+    assert len(summaries) == len([h for h in history if not h["empty"]])
+    # compaction events carry the folded row count
+    assert any("compacted" in r.message for r in events
+               if r.component == "frontier")
+
+
+def test_robots_dim_one_row_per_host(spark):
+    """ADVICE r2: multi-snapshot ingestion carries several robots.txt
+    captures per host; the dimension must keep exactly one (latest
+    warc_ts), or the flag_robots left join fans out candidates."""
+    from datetime import datetime, timezone
+
+    from torspider_spark.operators.candidate import build_robots_dim
+
+    def ts(day):
+        return datetime(2026, 1, day, tzinfo=timezone.utc)
+
+    rows = [
+        ("http://h1.onion/robots.txt", ts(1), b"", "User-agent: *\nDisallow: /old/\n", "en"),
+        ("http://h1.onion/robots.txt", ts(5), b"", "User-agent: *\nDisallow: /new/\n", "en"),
+        ("http://h1.onion/robots.txt", ts(3), b"", "User-agent: *\nDisallow: /mid/\n", "en"),
+        ("http://h2.onion/robots.txt", ts(2), b"", "User-agent: *\nDisallow: /x/\n", "en"),
+        ("http://h2.onion/page.html", ts(2), b"", "not robots", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    dim = build_robots_dim(pages)
+    got = {r.host: r.robots_txt for r in dim.collect()}
+    assert dim.count() == 2
+    assert got["h1.onion"] == "User-agent: *\nDisallow: /new/\n"
+    assert got["h2.onion"] == "User-agent: *\nDisallow: /x/\n"

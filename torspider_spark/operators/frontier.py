@@ -94,17 +94,20 @@ def discovered_urls(internal_results: DataFrame, cfg: CrawlConfig,
 
 def merge_scan_updates(frontier: DataFrame, internal_results: DataFrame,
                        blocked: DataFrame, cfg: CrawlConfig,
-                       epoch: int) -> DataFrame:
+                       epoch: int, update_rows: int | None = None
+                       ) -> DataFrame:
     """E3 — apply one epoch's outcomes to the frontier (MERGE INTO on a real
     Iceberg deployment; expressed as update-join + union here).
 
     The update side is one epoch's candidates (small); with
     ``merge_broadcast`` (default) it is broadcast against the big frontier,
     so the frontier itself is neither shuffled nor sorted — each of its
-    partitions streams through a broadcast-hash join. When an epoch's
-    budget is too large to broadcast (extreme host counts), disable it and
-    let AQE pick a shuffle join, which a url_hash-bucketed frontier layout
-    co-locates on a real deployment.
+    partitions streams through a broadcast-hash join. The hint is
+    size-guarded: callers pass ``update_rows`` (known driver-side from the
+    candidate counts — no extra job), and above
+    ``cfg.mor_broadcast_max_rows`` the hint is dropped so AQE picks the
+    strategy (bucketed co-location on a real deployment) instead of the
+    driver materializing an unbounded build side.
     """
     updates = internal_results.select(
         "url_hash",
@@ -126,7 +129,10 @@ def merge_scan_updates(frontier: DataFrame, internal_results: DataFrame,
             F.lit(True).alias("u_blocked"),
         ))
 
-    update_side = F.broadcast(updates) if cfg.merge_broadcast else updates
+    small_enough = (update_rows is None
+                    or update_rows <= cfg.mor_broadcast_max_rows)
+    update_side = (F.broadcast(updates)
+                   if cfg.merge_broadcast and small_enough else updates)
     joined = frontier.join(update_side, "url_hash", "left")
     hit = F.col("u_scanned").isNotNull()
 

@@ -35,11 +35,14 @@ def host_edges(links: DataFrame) -> DataFrame:
 
 def host_rank(links: DataFrame, iterations: int = 5,
               damping: float = 0.85) -> DataFrame:
-    """(host, rank) — weighted PageRank, normalized so mean rank == 1.
+    """(host, rank) — weighted PageRank over the host link graph.
 
     Deterministic: fixed iteration count, no sampling. Dangling hosts
     (no out-edges) contribute their rank uniformly via the (1-d) term only
-    — the standard simplified formulation rank' = (1-d) + d * inflow.
+    — the standard simplified formulation rank' = (1-d) + d * inflow. No
+    normalization is applied (dangling mass loss means the mean rank is
+    generally a bit below 1); the independent dict-PageRank oracle
+    (plans/expected.py) implements the identical formulation.
     """
     edges = host_edges(links).persist()
     out_w = edges.groupBy("src_host").agg(F.sum("weight").alias("out_w"))

@@ -2,10 +2,12 @@
 
 Images/audio/video ride as `binary` columns with a typed metadata struct —
 the Spark-side machinery (schema, batch iteration via mapInPandas, Arrow
-batch shapes, partition sizing) is real and tested; the actual codec calls
-are stubbed (no imaging/audio libraries in this container): decode returns
-deterministic fake features derived from the payload bytes, and the
-library-backed path raises NotImplementedError behind an import-try.
+batch shapes, partition sizing) is real and tested. Dimensions are parsed
+from REAL container headers for PNG/GIF/JPEG payloads (``header_dims`` —
+pure stdlib, no imaging library needed); only pixel-level work (perceptual
+hashing, resize) is stubbed with deterministic fakes, and the
+library-backed path raises NotImplementedError behind an import-try (no
+imaging/audio libraries in this container).
 
 At 100 TB the pattern matters more than the codec: payloads never pass
 through Python row-at-a-time — mapInPandas streams Arrow batches whose size
@@ -55,9 +57,61 @@ def _have_pillow() -> bool:
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for a real header parse."""
+    """Deterministic stand-in for payloads with no parseable header."""
     digest = hashlib.sha256(payload).digest()
     return 64 + digest[0] % 1920, 64 + digest[1] % 1080
+
+
+def header_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real image dimensions from the container header, pure stdlib.
+
+    PNG: IHDR is the first chunk after the 8-byte signature — width and
+    height are the two big-endian u32s at offsets 16 and 20. GIF: the
+    logical screen descriptor holds little-endian u16 width/height at
+    offsets 6 and 8. JPEG: walk the marker stream to the first SOF frame
+    header (0xC0-0xCF excluding DHT/JPG/DAC), whose payload is
+    [precision u8][height u16][width u16] big-endian. Returns None when no
+    magic matches or the header is truncated/corrupt — callers fall back
+    to the deterministic fake (the perceptual-hash path stays stubbed; see
+    decode_image_features)."""
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            if len(payload) < 24 or payload[12:16] != b"IHDR":
+                return None
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return (w, h) if w and h else None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            if len(payload) < 10:
+                return None
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return (w, h) if w and h else None
+        if payload.startswith(b"\xff\xd8"):
+            pos = 2
+            while pos + 9 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None
+                marker = payload[pos + 1]
+                if marker == 0xFF:      # fill byte
+                    pos += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2            # standalone marker, no length
+                    continue
+                seg_len = int.from_bytes(payload[pos + 2:pos + 4], "big")
+                if seg_len < 2:
+                    return None
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4, 0xC8, 0xCC):
+                    h = int.from_bytes(payload[pos + 5:pos + 7], "big")
+                    w = int.from_bytes(payload[pos + 7:pos + 9], "big")
+                    return (w, h) if w and h else None
+                pos += 2 + seg_len
+            return None
+    except Exception:
+        return None
+    return None
 
 
 def _fake_phash(payload: bytes) -> int:
@@ -86,7 +140,11 @@ def decode_image_features(media: DataFrame,
                     rows.append((media_id, None, None, None, None))
                     continue
                 payload = bytes(payload)
-                w, h = _fake_dims(payload)
+                # Real header parse for PNG/GIF/JPEG magics; the
+                # deterministic fake only covers headerless payloads (and
+                # the perceptual hash, which needs pixel decode).
+                dims = header_dims(payload)
+                w, h = dims if dims is not None else _fake_dims(payload)
                 rows.append((media_id, w, h, len(payload),
                              _fake_phash(payload)))
             yield pd.DataFrame(

@@ -107,7 +107,7 @@ def _host_rank_reference(links: list[tuple[str, int, str]],
                          damping: float = 0.85) -> dict[str, float]:
     """Dict-based PageRank over host edges — the independent reference for
     operators/hostrank.host_rank (same simplified formulation:
-    rank' = (1-d) + d * weighted inflow; mean-1 normalization implicit)."""
+    rank' = (1-d) + d * weighted inflow; no normalization either side)."""
     def host(u: str) -> str:
         return u.split("/")[2]
 
@@ -130,6 +130,31 @@ def _host_rank_reference(links: list[tuple[str, int, str]],
     return rank
 
 
+def _consolidated_titles(results) -> dict[str, str]:
+    """Per-host merge_titles fold in (epoch, url) order — the independent
+    reference for plans/stats.consolidated_titles. Uses weblib.merge_titles
+    (a pure function separately byte-verified against the reference's
+    libs/functions.py:17-24); the fold/ordering/empty-intersection policy
+    is restated here, not shared."""
+    from torspider_spark.weblib.textutil import merge_titles
+
+    by_host: dict[str, list[tuple[int, str, str]]] = defaultdict(list)
+    for r in results:
+        if r.title:
+            by_host[host_of(r.url)].append((r.epoch, r.url, r.title))
+    out: dict[str, str] = {}
+    for host, obs in by_host.items():
+        title = None
+        for _e, _u, t in sorted(obs):
+            if title is None:
+                title = t
+            else:
+                merged = merge_titles(title, t)
+                title = merged if merged else title
+        out[host] = title
+    return out
+
+
 def write_expected(corpus_dir: str, out_dir: str,
                    cfg: CrawlConfig | None = None, epochs: int = 2) -> str:
     """Run the simulator + minhash reference and write the expected tables.
@@ -137,7 +162,7 @@ def write_expected(corpus_dir: str, out_dir: str,
     cfg = cfg or CrawlConfig(bloom_min_frontier=0)
     # marker is versioned: bump when the expected-table set changes so
     # stale caches from earlier builds regenerate.
-    marker = os.path.join(out_dir, f"_done_e{epochs}_v2")
+    marker = os.path.join(out_dir, f"_done_e{epochs}_v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -167,6 +192,49 @@ def write_expected(corpus_dir: str, out_dir: str,
         "src": [x[0] for x in links],
         "epoch": pa.array([x[1] for x in links], pa.int32()),
         "dst": [x[2] for x in links],
+    })
+    # Persisted-backend-table references (VERDICT r2 #5): the engine
+    # commits urls/onions/links/forms/pages to the warehouse; these are the
+    # simulator's independent statements of the same tables.
+    _write(out_dir, "urls_sim.parquet", {
+        "url": [r.url for r in recs],
+        "host": [r.host for r in recs],
+        "state": [r.state for r in recs],
+        "depth": pa.array([r.depth for r in recs], pa.int32()),
+        "date": [str(r.last_scan_epoch) if r.last_scan_epoch >= 0
+                 else SENTINEL for r in recs],
+    })
+    host_alive: dict[str, bool] = defaultdict(bool)
+    for r in recs:
+        host_alive[r.host] |= r.state not in ("dead", "fault")
+    last_online: dict[str, int] = {}
+    for res in sim.results:
+        if res.online:
+            h = host_of(res.url)
+            last_online[h] = max(last_online.get(h, -1), res.epoch)
+    titles = _consolidated_titles(sim.results)
+    hosts = sorted(host_alive)
+    _write(out_dir, "onions_sim.parquet", {
+        "host": hosts,
+        "last_online": [str(last_online[h]) if h in last_online else SENTINEL
+                        for h in hosts],
+        "online": [host_alive[h] for h in hosts],
+        "title": [titles.get(h) or "" for h in hosts],
+    })
+    paged = [r for r in sim.results if r.hash is not None]
+    _write(out_dir, "pages_sim.parquet", {
+        "url": [r.url for r in paged],
+        "host": [host_of(r.url) for r in paged],
+        "epoch": pa.array([r.epoch for r in paged], pa.int32()),
+        "hash": [r.hash for r in paged],
+        "title": [r.title for r in paged],
+    })
+    formed = [(r.url, r.epoch, fj) for r in sim.results
+              for fj in r.form_dicts]
+    _write(out_dir, "forms_sim.parquet", {
+        "url": [x[0] for x in formed],
+        "epoch": pa.array([x[1] for x in formed], pa.int32()),
+        "form_json": [x[2] for x in formed],
     })
     stats = _sim_stats(sim)
     _write(out_dir, "stats_sim.parquet", {

@@ -105,6 +105,25 @@ class CrawlSimulator:
                 cache[url.split("/")[2]] = parser
         return cache
 
+    def refresh_corpus(self, pages: dict[str, tuple[bytes, str]],
+                       meta: dict[str, dict], epoch: int) -> int:
+        """Corpus swap + robots TTL refresh (2.J resurrection analogue).
+
+        Mirrors the engine's policy (plans/crawl.py _revived_view): when the
+        robots rules are rebuilt, every robots_blocked record is re-evaluated
+        against the new rules and newly-allowed ones return to pending,
+        eligible this very epoch. Returns the number resurrected."""
+        self.pages = pages
+        self.meta = meta
+        self.robots = self._build_robots() if self.cfg.robots_enabled else {}
+        revived = 0
+        for rec in self.frontier.values():
+            if rec.state == "robots_blocked" and self._allowed(rec):
+                rec.state = "pending"
+                rec.next_eligible_epoch = epoch
+                revived += 1
+        return revived
+
     def _allowed(self, rec: SimRecord) -> bool:
         parser = self.robots.get(rec.host)
         if parser is None or rec.url.endswith("/robots.txt"):

@@ -41,17 +41,23 @@ def consolidated_titles(scan_results: DataFrame,
     keeping token intersection, title1's order wins).
 
     The fold is inherently sequential, so titles are collected per host in
-    deterministic (epoch, url) order and folded in one Arrow batch. The
-    collect_list is capped (a hot host at 100-TB scale could report
-    millions of titles; after ``max_titles_per_host`` observations the
-    intersection has long since converged)."""
+    deterministic (epoch, url) order and folded in one Arrow batch. The cap
+    is applied BEFORE the aggregation (row_number window + filter): a hot
+    host at 100-TB scale could report millions of titles, and capping after
+    collect_list would still materialize them all in one aggregation buffer
+    — the window sort spills to disk, the buffer would not. After
+    ``max_titles_per_host`` observations the intersection has long since
+    converged."""
+    from pyspark.sql import Window
+
     titled = scan_results.filter(
         F.col("title").isNotNull() & (F.col("title") != ""))
-    per_host = titled.groupBy("host").agg(
-        F.slice(
-            F.sort_array(F.collect_list(
-                F.struct("epoch", "url", "title"))),
-            1, max_titles_per_host).alias("obs"))
+    w = Window.partitionBy("host").orderBy("epoch", "url")
+    capped = (titled.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_titles_per_host).drop("_rn"))
+    per_host = capped.groupBy("host").agg(
+        F.sort_array(F.collect_list(
+            F.struct("epoch", "url", "title"))).alias("obs"))
 
     from torspider_spark.weblib.textutil import merge_titles
 

@@ -92,6 +92,20 @@ METRICS = T.StructType(
     ]
 )
 
+# Structured log events — the reference's rotating per-process logger
+# (/root/reference/libs/logging.py:16-64) re-expressed as a queryable
+# warehouse table: (component, level, message) per epoch, committed with
+# the metrics sink. `component` plays the role of the reference's
+# current_process().name prefix.
+EVENTS = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("component", T.StringType(), False),
+        T.StructField("level", T.StringType(), False),
+        T.StructField("message", T.StringType(), False),
+    ]
+)
+
 # Typed view of one parsed form (derived from the JSON strings on demand via
 # F.from_json; map keys can't be null in Spark so unnamed fields surface as
 # the JSON key "null" — the string form remains the exactness carrier).

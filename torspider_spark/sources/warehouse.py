@@ -169,7 +169,14 @@ class Warehouse:
                 if int(k) <= epoch}
         else:
             m["current_dirs"] = keep[-1]["dirs"]
-        m["epoch_dirs"] = {str(keep[-1]["epoch"]): keep[-1]["dirs"]}
+        # Keep per-epoch append bookkeeping for every surviving epoch —
+        # collapsing it to the last epoch alone would make a later
+        # idempotent re-append (or a metrics backfill) treat earlier
+        # epochs as never-written and duplicate their rows.
+        live = set(m["current_dirs"])
+        m["epoch_dirs"] = {
+            k: v for k, v in m.get("epoch_dirs", {}).items()
+            if int(k) <= epoch and all(d in live for d in v)}
         self._publish(name, m)
 
     # -- bucketed tables (MERGE INTO analogue) --------------------------------
