@@ -88,6 +88,29 @@ def main() -> None:
         "url_hash buckets are rewritten, see warehouse.commit_bucketed)",
         explain_str(merged)))
 
+    # VERDICT r3 #3 evidence: with the journal NON-empty, the E2 dedup key
+    # set is base keys ∪ raw journal keys — a plain union scan, never the
+    # reconcile (no Window, no anti-join), which lives only on the
+    # frontier_df() read path.
+    assert job._journal_rows() > 0, "journal must be live for this snapshot"
+    seen_keys = job.wh.read_buckets(
+        "frontier", exclude_epoch_deltas=2).select("url_hash").unionByName(
+        job._journal_df().select("url_hash"))
+    sections.append((
+        "E2 seen-key scan in MOR mode (watch: journal is NON-empty at dump "
+        "time, yet the seen set is a plain key UNION of the bucketed base "
+        "and the journal — no Window, no anti-join; the reconcile never "
+        "runs on the dedup path)", explain_str(seen_keys)))
+
+    view = job.frontier_df()
+    sections.append((
+        "E3-MOR read path — frontier_df() reconcile (watch: the "
+        "row_number Window runs over the UPDATES-ONLY journal — bounded by "
+        "politeness budget x epochs since compaction — and the base "
+        "anti-joins against its keys with a SIZE-GUARDED broadcast "
+        "(mor_broadcast_max_rows); the bucketed base itself streams, "
+        "never sorted or shuffled)", explain_str(view)))
+
     robots_dim = candidate.build_robots_dim(job.pages)
     flagged = candidate.flag_robots(cands, robots_dim, cfg)
     sections.append((

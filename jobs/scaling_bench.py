@@ -166,11 +166,14 @@ def main() -> None:
         "",
         "## Context",
         "",
-        "- Round-1 measured 417.9 s @1 / 110.2 s @4 on this protocol with a",
-        "  full frontier rewrite per epoch. Round 2 made the frontier",
-        "  merge-on-read (journal + delta appends + amortized compaction;",
-        "  see README and tests/test_plans.py MOR==COW equality) and added",
-        "  per-epoch persistence of the backend's derived tables.",
+        "- Round-1 measured 417.9 s @1 / 110.2 s @4 (efficiency 0.948) with",
+        "  a full frontier rewrite per epoch. Round-2's merge-on-read",
+        "  journal carried inserts as well as updates and force-broadcast",
+        "  the whole journal every epoch — 334.2 s @1 / 165.2 s @4",
+        "  (efficiency 0.506, the r2 verdict's one miss). Round 3 made the",
+        "  journal UPDATES-ONLY (inserts ride bucketed delta appends),",
+        "  compaction size-triggered, and every broadcast hint size-guarded;",
+        "  the numbers above are measured with those fixes in place.",
         "- Secondary 2-vs-8 protocol is capped at ~0.58 by this sandbox VM's",
         "  per-core throughput falloff beyond ~8 busy cores (a pure-Python",
         "  control shows the same falloff); 1-vs-4 is the linear region and",

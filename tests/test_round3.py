@@ -126,13 +126,17 @@ def test_size_triggered_compaction(spark, corpus_dir, tmp_path):
     assert a == b
 
 
-def test_journal_is_updates_only(spark, corpus_dir, tmp_path):
-    """Every journal row must update an EXISTING base key — inserts ride
-    the bucketed delta appends, never the journal (r2's scaling killer was
-    inserts riding the journal into a per-epoch forced broadcast)."""
+def test_insert_routing_delta_vs_journal(spark, corpus_dir, tmp_path):
+    """Insert batches route by size. Forced to the delta path
+    (mor_insert_journal_max_rows=0), every journal row updates an EXISTING
+    base key — r2's scaling killer was unbounded inserts riding the
+    journal into a per-epoch forced broadcast. On the default journal
+    route (tiny batches), no frontier delta snapshots appear between
+    compactions and the final state is identical."""
     corpus, _ = corpus_dir
     cfg = CrawlConfig(frontier_mor=True, mor_compact_every=10_000,
-                      mor_compact_rows=10**9, **BASE)
+                      mor_compact_rows=10**9, mor_insert_journal_max_rows=0,
+                      compact_small_table_bytes=0, **BASE)
     job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
     job.bootstrap()
     for epoch in (1, 2, 3):
@@ -145,26 +149,48 @@ def test_journal_is_updates_only(spark, corpus_dir, tmp_path):
     assert orphans == 0
     # driver-side manifest arithmetic must agree with the actual row count
     assert job._journal_rows() == journal.count()
+    # delta route actually appended insert dirs to the base
+    m = job.wh.manifest("frontier")
+    assert any("_kind=delta" in d for dirs in m["buckets"].values()
+               for d in dirs)
+
+    jcfg = CrawlConfig(frontier_mor=True, mor_compact_every=10_000,
+                       mor_compact_rows=10**9, compact_small_table_bytes=0,
+                       **BASE)  # default: tiny batches ride the journal
+    jjob = CrawlJob(spark, corpus, str(tmp_path / "whj"), jcfg)
+    jjob.bootstrap()
+    for epoch in (1, 2, 3):
+        jjob.run_epoch(epoch)
+    jm = jjob.wh.manifest("frontier")
+    assert not any("_kind=delta" in d for dirs in jm["buckets"].values()
+                   for d in dirs)
+    a = {(r.url, r.state, r.tries, r.last_hash)
+         for r in job.frontier_df().collect()}
+    b = {(r.url, r.state, r.tries, r.last_hash)
+         for r in jjob.frontier_df().collect()}
+    assert a == b
 
 
 def test_dedup_path_never_reconciles_journal(spark, corpus_dir, tmp_path):
-    """VERDICT r3 item #3: the E2 seen-key set is the bucketed base alone —
-    its plan must contain no window and no journal scan, and the reconcile
-    window must appear only in frontier_df()."""
+    """VERDICT r3 item #3: the E2 seen-key set is base keys ∪ raw journal
+    keys — a plain union, never the reconcile: no window, no anti-join.
+    The reconcile window appears only in frontier_df()."""
     corpus, _ = corpus_dir
     cfg = CrawlConfig(frontier_mor=True, mor_compact_every=10_000,
-                      mor_compact_rows=10**9, **BASE)
+                      mor_compact_rows=10**9, compact_small_table_bytes=0,
+                      **BASE)
     job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
     job.bootstrap()
     for epoch in (1, 2):
         job.run_epoch(epoch)
     assert job._journal_rows() > 0  # journal non-empty: reconcile is live
 
-    seen_plan = _explain(
-        job.wh.read_buckets("frontier",
-                            exclude_epoch_deltas=3).select("url_hash"))
+    seen = job.wh.read_buckets(
+        "frontier", exclude_epoch_deltas=3).select("url_hash").unionByName(
+        job._journal_df().select("url_hash"))
+    seen_plan = _explain(seen)
     assert "Window" not in seen_plan
-    assert "frontier_journal" not in seen_plan
+    assert "Join" not in seen_plan
     view_plan = _explain(job.frontier_df())
     assert "Window" in view_plan  # the reconcile lives on the read path only
 

@@ -51,15 +51,23 @@ class CrawlConfig:
     # point (10^10 rows => B ~ 64k of ~150k rows); 64 fits the test scale.
     frontier_buckets: int = 64
     compact_max_dirs: int = 8           # fold buckets with >= this many dirs
+    # Small-table fast path (Iceberg binpack analogue): while the frontier's
+    # LIVE bytes (manifest-recorded file stats, never a store listing) stay
+    # under this, delta chains fold eagerly once the average chain exceeds
+    # 2 dirs/bucket — a tiny table fragmented into bucket-count files per
+    # epoch pays more in per-file scan overhead than a full fold costs. At
+    # scale the threshold stops matching and the amortized
+    # compact_max_dirs / mor_compact_rows policies rule.
+    compact_small_table_bytes: int = 256 << 20
     # Merge-on-read updates (Iceberg MOR analogue): per-epoch state
-    # transitions append to a small UPDATES-ONLY journal table (bounded by
-    # the politeness budget per epoch); inserts append to the bucketed base
-    # as delta dirs (zero rewrite — same fast-append path COW uses). Reads
-    # reconcile base-vs-journal via an anti-join, broadcast only while the
-    # journal is small; the journal folds into the bucketed base when it
-    # outgrows `mor_compact_rows` (size-triggered — the half of the MOR
-    # design r2 was missing), every `mor_compact_every` epochs as a
-    # fallback, and at end of run.
+    # transitions append to a small journal table (bounded by the
+    # politeness budget per epoch); inserts route by size — see
+    # `mor_insert_journal_max_rows` below. Reads reconcile base-vs-journal
+    # via an anti-join, broadcast only while the journal is small; the
+    # journal folds into the bucketed base when it outgrows
+    # `mor_compact_rows` (size-triggered — the half of the MOR design r2
+    # was missing), every `mor_compact_every` epochs as a fallback, and at
+    # end of run.
     # Copy-on-write per epoch (frontier_mor=False) rewrites every bucket an
     # update hashes into — O(table) once updates/epoch exceeds the bucket
     # count, which any realistic politeness budget does.
@@ -67,6 +75,16 @@ class CrawlConfig:
     mor_compact_every: int = 16
     mor_compact_rows: int = 1_000_000   # journal rows triggering compaction
     mor_broadcast_max_rows: int = 1_000_000  # above: no broadcast hint (AQE)
+    # Insert routing (Hudi/Iceberg-MOR small-batch shape): an epoch whose
+    # insert batch is at most this many rows appends it to the journal
+    # (ONE cheap commit) instead of bucketed delta dirs (one dir per
+    # touched bucket — worth it only when batches are file-sized).
+    # Correctness is route-independent: the reconcile window handles both
+    # kinds, the seen set is base ∪ journal keys, and the size-triggered
+    # compaction bounds the journal either way. r2's scaling killer was
+    # NOT insert rows in the journal per se — it was the unbounded journal
+    # plus the forced broadcast, both now guarded.
+    mor_insert_journal_max_rows: int = 100_000
     arrow_batch_rows: int = 2048        # caps parser peak memory per batch
     # Persist the reference backend's derived tables (SpiderStats.py:69-146):
     # links/forms/pages appended per epoch (epoch-slice only — no recompute),

@@ -18,11 +18,13 @@ Per-epoch dataflow (shuffles annotated):
       -> E2 URL-seen semi/anti (operators/dedup.py)
                                           [broadcast; frontier never shuffled]
       -> E3 state merge -> merge-on-read (default): post-merge rows for the
-         epoch's candidates append to a small UPDATES-ONLY journal (bounded
-         by the politeness budget), inserts append to the bucketed base as
-         delta dirs (fast-append, zero rewrite), reads reconcile base vs
-         journal via a size-guarded anti-join, compact_frontier folds the
-         journal in when it outgrows mor_compact_rows
+         epoch's candidates append to a small journal (bounded by the
+         politeness budget); inserts ROUTE BY SIZE — small batches ride
+         the same journal commit, large batches append to the bucketed
+         base as delta dirs (fast-append, zero rewrite); reads reconcile
+         base vs journal via a size-guarded anti-join; compact_frontier
+         folds the journal in when it outgrows mor_compact_rows and
+         binpacks delta chains while the table is small
          [journal commit = epoch barrier; write I/O = O(candidates+inserts)]
          (frontier_mor=False: per-epoch copy-on-write bucketed MERGE)
       -> scan_results append, metrics append
@@ -151,10 +153,11 @@ class CrawlJob:
         return total
 
     def _journal_latest(self, journal: DataFrame) -> DataFrame:
-        """Last state per url_hash in the updates journal. The journal is
-        UPDATES-ONLY (bounded by politeness budget x epochs since the last
-        size-triggered compaction), so the window input is always small —
-        never the insert stream, which lives in the bucketed base."""
+        """Last state per url_hash in the journal. The window input is
+        bounded by construction: updates ≤ politeness budget per epoch,
+        journal-routed inserts ≤ mor_insert_journal_max_rows per epoch
+        (larger batches live in the bucketed base as delta dirs), and the
+        size-triggered compaction (mor_compact_rows) caps the total."""
         from pyspark.sql import Window
 
         w = Window.partitionBy("url_hash").orderBy(F.col("_jepoch").desc())
@@ -172,15 +175,24 @@ class CrawlJob:
     def frontier_df(self, exclude_epoch_deltas: int | None = None
                     ) -> DataFrame:
         """Current frontier state: the bucketed base (rewrites + insert
-        deltas) reconciled with the updates journal (last writer per
-        url_hash wins). The base STREAMS; the journal holds only update
-        rows — inserts have no base row to mask, so they never enter the
-        reconcile at all (they ARE base rows, appended as delta dirs).
+        deltas) reconciled with the journal (last writer per url_hash
+        wins). The base STREAMS; the journal holds the update rows plus
+        any small journal-routed insert batches — bounded by budget and
+        mor_insert_journal_max_rows per epoch, capped overall by the
+        size-triggered compaction.
 
         ``exclude_epoch_deltas``: re-running a crashed epoch must see the
         pre-epoch state (see Warehouse.read_buckets)."""
         base = self.wh.read_buckets(
             "frontier", exclude_epoch_deltas=exclude_epoch_deltas)
+        return self._reconcile(base)
+
+    def _reconcile(self, base: DataFrame) -> DataFrame:
+        """Base ∪ journal view over an ALREADY-CONSTRUCTED base relation.
+        run_epoch builds the base DataFrame once and derives both the
+        frontier view and the E2 seen-key set from it — the file-listing
+        of a delta-fragmented bucketed table (hundreds of dirs between
+        compactions) is paid once per epoch, not once per consumer."""
         journal = self._journal_df()
         if journal is None:
             return base
@@ -188,17 +200,20 @@ class CrawlJob:
         keys = self._guarded(latest.select("url_hash"), self._journal_rows())
         return base.join(keys, "url_hash", "left_anti").unionByName(latest)
 
-    def compact_frontier(self, epoch: int) -> None:
+    def compact_frontier(self, epoch: int, fold_chains: bool = False) -> None:
         """Fold the updates journal into the bucketed base (amortized COW):
         rewrite only buckets holding journal keys or over-long delta
         chains (insert deltas accumulate one dir per epoch until
         compact_max_dirs folds them), then truncate the journal.
-        Crash-safe: re-applying an already-folded journal row is a
-        value-level no-op (last writer wins with identical values)."""
+        ``fold_chains`` (small-table fast path) folds EVERY multi-dir
+        bucket — cheap by construction, the caller proved the live bytes
+        small first. Crash-safe: re-applying an already-folded journal row
+        is a value-level no-op (last writer wins with identical values)."""
         journal = self._journal_df()
         cfg = self.cfg
+        min_dirs = 2 if fold_chains else cfg.compact_max_dirs
         overfull = {b for b, n in self.wh.bucket_dir_counts("frontier").items()
-                    if n >= cfg.compact_max_dirs}
+                    if n >= min_dirs}
         if journal is None and not overfull:
             return
         if journal is not None:
@@ -245,7 +260,8 @@ class CrawlJob:
         t0 = time.time()
         cfg = self.cfg
         robots_dim = self._robots(epoch)
-        frontier = self.frontier_df(exclude_epoch_deltas=epoch)
+        base = self.wh.read_buckets("frontier", exclude_epoch_deltas=epoch)
+        frontier = self._reconcile(base)
 
         # Robots resurrection: on TTL-refresh epochs, newly-allowed
         # robots_blocked rows re-enter scheduling as pending rows. The
@@ -328,12 +344,16 @@ class CrawlJob:
                       ("forms", st.forms_table(epoch_results)),
                       ("pages", st.pages_table(epoch_results))]
 
-        # E2: dedup discovered URLs against the frontier KEY SET — just the
-        # bucketed base: inserts land in the base as delta dirs, and the
-        # journal holds only updates (existing keys), so base keys ARE the
-        # seen set. No reconcile, no union, is ever paid on the dedup path.
-        seen_keys = self.wh.read_buckets(
-            "frontier", exclude_epoch_deltas=epoch).select("url_hash")
+        # E2: dedup discovered URLs against the frontier KEY SET: base keys
+        # (updates always have a base row) plus raw journal keys (small
+        # insert batches ride the journal until compaction). No reconcile
+        # — the window/anti-join never runs here, a plain key union does —
+        # and no second file listing: same base relation as the view.
+        seen_keys = base.select("url_hash")
+        journal_now = self._journal_df()
+        if journal_now is not None:
+            seen_keys = seen_keys.unionByName(
+                journal_now.select("url_hash"))
         discovered = fr.discovered_urls(internal, cfg, epoch).persist()
         inserts = dedup.unseen_urls(
             discovered, seen_keys, self.spark, self._maybe_bloom(seen_keys),
@@ -356,26 +376,37 @@ class CrawlJob:
             self._bloom = self._bloom.merged_with(inserts)
 
         # E3: apply this epoch's outcomes to the frontier.
+        insert_in_journal = False
         if cfg.frontier_mor:
             # Merge-on-read (Iceberg MOR analogue). The post-merge rows for
             # updated keys (the candidate rows themselves — no frontier
-            # join at all) append to the UPDATES-ONLY journal; inserts
-            # append to the bucketed base as delta dirs (the same
-            # fast-append path COW uses — they have no base row to mask,
-            # so keeping them out of the journal keeps the read-path
-            # reconcile bounded by the politeness budget, not by discovery
-            # volume: r2's scaling regression was exactly inserts riding
-            # the journal). The delta append rides the concurrent sink
-            # pool below; the journal commit stays LAST — it is the
-            # epoch's atomic completion barrier (see resume_epoch), and a
-            # crash before it re-runs the epoch against the pre-epoch base
-            # (exclude_epoch_deltas) with every other commit idempotent.
+            # join at all) append to the journal. Inserts route by size
+            # (the Hudi/Iceberg small-batch shape): a batch at most
+            # mor_insert_journal_max_rows rides the SAME journal commit
+            # (zero extra I/O — a tiny per-bucket delta write costs ~1-2 s
+            # of fixed overhead per epoch regardless of data size); bigger
+            # batches append to the bucketed base as delta dirs (the
+            # fast-append path COW uses), keeping the read-path reconcile
+            # bounded by the politeness budget, not discovery volume —
+            # r2's scaling regression was an UNBOUNDED journal plus a
+            # forced broadcast, both now guarded (mor_compact_rows /
+            # mor_broadcast_max_rows). The delta append rides the
+            # concurrent sink pool below; the journal commit stays LAST —
+            # it is the epoch's atomic completion barrier (see
+            # resume_epoch), and a crash before it re-runs the epoch
+            # against the pre-epoch base (exclude_epoch_deltas) with every
+            # other commit idempotent.
             updated = fr.merge_scan_updates(
                 flagged.drop("_allowed"), internal, blocked, cfg, epoch,
                 update_rows=n_candidates + n_blocked)
             if revived_only is not None:
                 updated = updated.unionByName(revived_only)
-            if n_inserted:
+            insert_in_journal = bool(
+                n_inserted
+                and n_inserted <= cfg.mor_insert_journal_max_rows)
+            if insert_in_journal:
+                updated = updated.unionByName(inserts)
+            elif n_inserted:
                 sinks.append(("frontier", inserts))
         else:
             updated = None
@@ -403,7 +434,8 @@ class CrawlJob:
                     fut.result()
 
         if cfg.frontier_mor:
-            n_updates = n_candidates + n_blocked + n_revived
+            n_updates = (n_candidates + n_blocked + n_revived
+                         + (n_inserted if insert_in_journal else 0))
             journal_rows = updated.withColumn(
                 "_jepoch", F.lit(epoch)).coalesce(nparts)
             stats_meta = {
@@ -491,18 +523,35 @@ class CrawlJob:
         # rides this epoch's single events commit. Crash-safe: the journal
         # barrier is already committed, and a lost compaction simply
         # re-triggers on the next epoch's size check.
+        fold_chains = False
+        if cfg.frontier_mor and cfg.compact_small_table_bytes:
+            # Small-table fast path: while live bytes (manifest file
+            # stats — pure driver arithmetic) stay small, fold delta
+            # chains once the average chain passes 2 dirs/bucket. A tiny
+            # table fragmented into bucket-count files per epoch pays more
+            # in per-file scan overhead (every epoch runs several actions
+            # over it) than one cheap fold costs; at scale the byte
+            # threshold stops matching and the amortized policies rule.
+            tb = self.wh.table_bytes("frontier")
+            dir_counts = self.wh.bucket_dir_counts("frontier")
+            fold_chains = (
+                tb is not None and tb < cfg.compact_small_table_bytes
+                and dir_counts
+                and sum(dir_counts.values()) > 2 * len(dir_counts))
         if cfg.frontier_mor and (
-                (cfg.mor_compact_rows
-                 and self._journal_rows() >= cfg.mor_compact_rows)
+                fold_chains
+                or (cfg.mor_compact_rows
+                    and self._journal_rows() >= cfg.mor_compact_rows)
                 or (cfg.mor_compact_every
                     and epoch % cfg.mor_compact_every == 0)):
             tc = time.time()
             jrows = self._journal_rows()
-            self.compact_frontier(epoch)
+            self.compact_frontier(epoch, fold_chains=fold_chains)
             stats["compact_seconds"] = time.time() - tc
             self._log(epoch, "frontier", "info",
-                      f"journal compacted into base: {jrows} rows "
-                      f"folded in {stats['compact_seconds']:.1f}s")
+                      f"journal compacted into base: {jrows} rows folded "
+                      f"in {stats['compact_seconds']:.1f}s"
+                      + (" (small-table chain fold)" if fold_chains else ""))
         if n_revived:
             self._log(epoch, "robots", "info",
                       f"resurrected {n_revived} newly-allowed urls "
@@ -545,9 +594,11 @@ class CrawlJob:
 
     def _flush_events(self, epoch: int) -> None:
         """Commit buffered events under ``epoch``'s append key. Rows keep
-        their OWN epoch values (a compaction logged after epoch e's metrics
-        flushes under e+1); the table is advisory — the correctness
-        surfaces are metrics + the snapshot tables."""
+        their OWN epoch values; the table is advisory — the correctness
+        surfaces are metrics + the snapshot tables — so it flushes ONCE
+        per run (the reference's logger buffers through a file handler
+        too): a per-epoch flush measurably costs ~1s of serialized driver
+        wall per epoch at any data size, all fixed overhead."""
         if not self._events:
             return
         df = self.spark.createDataFrame(self._events, schema=EVENTS)
@@ -565,9 +616,9 @@ class CrawlJob:
         xxhash64(url_hash) mod shuffle partitions (what an Iceberg
         bucket(url_hash) layout would record per data file).
 
-        The events flush rides alongside in a second thread — two tiny
-        local-rows writes pay one job-scheduling latency, not two (the
-        per-epoch fixed-action budget is the 4-core scaling ceiling)."""
+        Events do NOT flush here — they buffer across the run and commit
+        once at the end (every per-epoch driver action is serialized wall
+        the 4-core run cannot parallelize away)."""
         rows = [
             (epoch, -1, name, int(stats[name]))
             for name in ("candidates", "blocked", "revived", "posted",
@@ -577,17 +628,7 @@ class CrawlJob:
         rows.extend((epoch, int(r["b"]), "inserted_bucket_rows", int(r["count"]))
                     for r in bucket_rows)
         df = self.spark.createDataFrame(rows, schema=METRICS)
-        if self._events:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futs = [pool.submit(self.wh.commit, "metrics", df, epoch,
-                                    mode="append"),
-                        pool.submit(self._flush_events, epoch)]
-                for fut in futs:
-                    fut.result()
-        else:
-            self.wh.commit("metrics", df, epoch, mode="append")
+        self.wh.commit("metrics", df, epoch, mode="append")
 
     def _backfill_metrics(self) -> None:
         """Heal the metrics table on resume (ADVICE r2): the epoch barrier

@@ -236,6 +236,24 @@ class Warehouse:
         m = self.manifest(name) or {}
         return {int(b): len(d) for b, d in m.get("buckets", {}).items()}
 
+    def table_bytes(self, name: str) -> int | None:
+        """Live data bytes of a bucketed table from manifest-recorded file
+        stats (the Iceberg-manifest analogue: sizes are captured once at
+        commit time, never by listing the store afterwards). Returns None
+        when any live dir predates size tracking — callers treat unknown
+        as 'large' and skip small-table fast paths."""
+        m = self.manifest(name)
+        if m is None or "buckets" not in m:
+            return None
+        sizes = m.get("dir_bytes", {})
+        total = 0
+        for dirs in m["buckets"].values():
+            for d in dirs:
+                if d not in sizes:
+                    return None
+                total += sizes[d]
+        return total
+
     def commit_bucketed(self, name: str, epoch: int, *,
                         rewrite: DataFrame | None = None,
                         append: DataFrame | None = None,
@@ -309,6 +327,7 @@ class Warehouse:
                        for b, dirs in buckets.items()}
         new_deltas = []
 
+        dir_bytes = m.setdefault("dir_bytes", {})
         for kind, replace in (("base", True), ("delta", False)):
             kind_dir = os.path.join(out_path, f"_kind={kind}")
             if not os.path.isdir(kind_dir):
@@ -323,6 +342,14 @@ class Warehouse:
                 else:
                     buckets.setdefault(bucket_id, []).append(rel)
                     new_deltas.append(rel)
+                # Iceberg-manifest analogue: capture file stats at commit
+                # time so size-aware policies (small-table compaction,
+                # broadcast guards) never list the store afterwards.
+                entry_path = os.path.join(kind_dir, entry)
+                dir_bytes[rel] = sum(
+                    os.path.getsize(os.path.join(entry_path, f))
+                    for f in os.listdir(entry_path)
+                    if not f.startswith(("_", ".")))
         if append is not None:
             m["epoch_deltas"] = {epoch_key: new_deltas}
 
@@ -340,6 +367,8 @@ class Warehouse:
         m["buckets"] = buckets
         m["current_dirs"] = sorted({d for dirs in buckets.values()
                                     for d in dirs})
+        live = set(m["current_dirs"])
+        m["dir_bytes"] = {d: b for d, b in dir_bytes.items() if d in live}
         self._publish(name, m)
         return snapshot
 
