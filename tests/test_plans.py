@@ -271,3 +271,29 @@ def test_mor_resume_mid_epoch(spark, corpus_dir, tmp_path_factory):
     b = {(r.url, r.state, r.tries, r.last_hash)
          for r in resumed.frontier_df().collect()}
     assert a == b
+
+
+def test_consolidated_titles_cap_before_aggregation(spark):
+    """ADVICE r2: the per-host cap must bound what reaches the aggregation
+    buffer (row_number window filter BEFORE collect_list), and the capped
+    fold must equal the uncapped fold once the intersection has converged."""
+    from torspider_spark.plans.stats import consolidated_titles
+
+    rows = [("h.onion", e, f"http://h.onion/{e:03d}",
+             "Common Words Here" if e % 2 else "Here Common Words Extra")
+            for e in range(1, 41)]
+    df = spark.createDataFrame(
+        rows, "host string, epoch int, url string, title string")
+    capped = {r.host: r.title
+              for r in consolidated_titles(df, max_titles_per_host=5).collect()}
+    full = {r.host: r.title for r in consolidated_titles(df).collect()}
+    assert capped == full  # converged long before the cap
+    # and the capped plan aggregates at most max_titles_per_host rows
+    plan_df = consolidated_titles(df, max_titles_per_host=5)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan  # cap applied via window BEFORE the aggregate

@@ -170,3 +170,27 @@ def test_bucketed_expire_keeps_live_dirs(spark, wh, tmp_path):
     wh.expire_snapshots("f", keep_last=1)
     # every still-referenced delta dir must survive expiry
     assert sorted(r.x for r in wh.read_buckets("f").collect()) == [0, 1, 2, 3]
+
+
+def test_manifest_file_stats_and_table_bytes(spark, wh):
+    """commit_bucketed records per-dir file sizes at commit time (the
+    Iceberg-manifest analogue); table_bytes sums the LIVE dirs only and
+    returns None when any live dir predates size tracking."""
+    wh.commit_bucketed("f", 0, rewrite=_bdf(spark, [(1, 0), (2, 1)]))
+    b0 = wh.table_bytes("f")
+    assert b0 and b0 > 0
+    wh.commit_bucketed("f", 1, append=_bdf(spark, [(3, 0)]))
+    b1 = wh.table_bytes("f")
+    assert b1 > b0  # delta added bytes
+    # rewriting bucket 0 drops its old base+delta from the live set
+    wh.commit_bucketed("f", 2, rewrite=_bdf(spark, [(9, 0)]))
+    m = wh.manifest("f")
+    live = {d for dirs in m["buckets"].values() for d in dirs}
+    assert set(m["dir_bytes"]) == live  # stats pruned to live dirs
+    # a live dir with no recorded size -> unknown (None), never a guess
+    del m["dir_bytes"][next(iter(live))]
+    wh._publish("f", m)
+    assert wh.table_bytes("f") is None
+    # non-bucketed tables have no byte stats
+    wh.commit("plain", _df(spark, [1]), epoch=1)
+    assert wh.table_bytes("plain") is None

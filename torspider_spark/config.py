@@ -55,10 +55,11 @@ class CrawlConfig:
     # LIVE bytes (manifest-recorded file stats, never a store listing) stay
     # under this, delta chains fold eagerly once the average chain exceeds
     # 2 dirs/bucket — a tiny table fragmented into bucket-count files per
-    # epoch pays more in per-file scan overhead than a full fold costs. At
-    # scale the threshold stops matching and the amortized
+    # epoch pays more in per-file scan overhead than a full fold costs.
+    # "Small" must mean fold-is-cheap (~a couple of seconds even on one
+    # core); at scale the threshold stops matching and the amortized
     # compact_max_dirs / mor_compact_rows policies rule.
-    compact_small_table_bytes: int = 256 << 20
+    compact_small_table_bytes: int = 64 << 20
     # Merge-on-read updates (Iceberg MOR analogue): per-epoch state
     # transitions append to a small journal table (bounded by the
     # politeness budget per epoch); inserts route by size — see

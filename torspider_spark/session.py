@@ -45,6 +45,14 @@ def get_spark(
         # zstd trades (scalable) CPU for (serial) disk bandwidth on the
         # per-epoch scan_results/frontier snapshot writes
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Commit algorithm v2: tasks move their outputs directly; the v1
+        # job-commit's DRIVER-SIDE sequential rename of every output file
+        # (64+ per bucketed write) is pure serial wall at any parallelism.
+        # Safe here by construction: every warehouse write lands in a
+        # private snap dir that only the atomic manifest swap publishes,
+        # so v2's partial-visibility-on-failure caveat cannot surface.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm"
+                ".version", "2")
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
