@@ -91,16 +91,27 @@ def main() -> None:
     # VERDICT r3 #3 evidence: with the journal NON-empty, the E2 dedup key
     # set is base keys ∪ raw journal keys — a plain union scan, never the
     # reconcile (no Window, no anti-join), which lives only on the
-    # frontier_df() read path.
-    assert job._journal_rows() > 0, "journal must be live for this snapshot"
-    seen_keys = job.wh.read_buckets(
-        "frontier", exclude_epoch_deltas=2).select("url_hash").unionByName(
-        job._journal_df().select("url_hash"))
-    sections.append((
-        "E2 seen-key scan in MOR mode (watch: journal is NON-empty at dump "
-        "time, yet the seen set is a plain key UNION of the bucketed base "
-        "and the journal — no Window, no anti-join; the reconcile never "
-        "runs on the dedup path)", explain_str(seen_keys)))
+    # frontier_df() read path. Conditional (ADVICE r3): with default
+    # config epoch 1 leaves a live journal today, but a config/corpus
+    # drift that empties it should annotate the snapshot, not crash the
+    # artifact job.
+    if job._journal_rows() > 0:
+        seen_keys = job.wh.read_buckets(
+            "frontier", exclude_epoch_deltas=2).select(
+            "url_hash").unionByName(job._journal_df().select("url_hash"))
+        sections.append((
+            "E2 seen-key scan in MOR mode (watch: journal is NON-empty at "
+            "dump time, yet the seen set is a plain key UNION of the "
+            "bucketed base and the journal — no Window, no anti-join; the "
+            "reconcile never runs on the dedup path)",
+            explain_str(seen_keys)))
+    else:
+        sections.append((
+            "E2 seen-key scan in MOR mode — SKIPPED",
+            "journal empty after epoch 1 under the current defaults "
+            "(compaction fired or zero updates); re-run with "
+            "mor_compact_every high / a corpus producing updates to "
+            "capture this plan"))
 
     view = job.frontier_df()
     sections.append((

@@ -216,13 +216,12 @@ def test_metrics_backfill_on_resume(spark, corpus_dir, tmp_path):
     resumed.run(max_epochs=1)
     after = {(r.epoch, r.partition_id, r.metric, r.value)
              for r in resumed.metrics_df().collect()}
-    lost = {(e, b, n, v) for (e, b, n, v) in before
-            if e == 3 and n != "epoch_millis"}
-    restored = {(e, b, n, v) for (e, b, n, v) in after
-                if e == 3 and n != "epoch_millis"}
+    # epoch_millis included: the barrier meta carries the SAME canonical
+    # pre-sink measurement the metrics frame does (ADVICE r3), so the
+    # backfilled row is value-identical to the lost one.
+    lost = {(e, b, n, v) for (e, b, n, v) in before if e == 3}
+    restored = {(e, b, n, v) for (e, b, n, v) in after if e == 3}
     assert lost == restored
-    # epoch_millis is reconstructed too (value = the original attempt's)
-    assert any(e == 3 and n == "epoch_millis" for (e, b, n, v) in after)
 
 
 def test_bucketed_rollback_rebuilds_state(spark, corpus_dir, tmp_path):

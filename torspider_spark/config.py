@@ -91,6 +91,11 @@ class CrawlConfig:
     # links/forms/pages appended per epoch (epoch-slice only — no recompute),
     # urls/onions rolled up at publish_tables() (end of run).
     persist_derived: bool = True
+    # Durable event log cadence: buffered events flush every K epochs
+    # (plus once at end of run) under unique snapshot-seq commit keys, so
+    # a crash loses at most the last K epochs' events and a re-flush can
+    # never replace earlier history. 0 = end-of-run flush only.
+    events_flush_epochs: int = 8
 
     CONF_PREFIX = "spark.torfrontier."
 

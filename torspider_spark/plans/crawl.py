@@ -209,6 +209,7 @@ class CrawlJob:
         bucket — cheap by construction, the caller proved the live bytes
         small first. Crash-safe: re-applying an already-folded journal row
         is a value-level no-op (last writer wins with identical values)."""
+        t_compact = time.time()
         journal = self._journal_df()
         cfg = self.cfg
         min_dirs = 2 if fold_chains else cfg.compact_max_dirs
@@ -234,13 +235,25 @@ class CrawlJob:
                 "url_hash", "left_anti").unionByName(latest))
         else:
             new_slice = old_slice
+        # Durable cost record (ADVICE r3): the compaction wall is stamped
+        # into the FINAL commit of the compaction itself (manifest meta —
+        # the same place epoch_millis lives for backfill), measured up to
+        # that commit; the full wall incl. commit tail also reaches the
+        # run history as compact_seconds and the scaling bench sums it
+        # into epoch wall.
+        bmeta = {"compaction": True, "buckets": len(rewrite_ids)}
+        if journal is None:
+            bmeta["compact_millis"] = int((time.time() - t_compact) * 1000)
         self.wh.commit_bucketed(
             "frontier", epoch,
             rewrite=new_slice.withColumn("_bucket", self._bucket_col()),
-            meta={"compaction": True, "buckets": len(rewrite_ids)})
+            meta=bmeta)
         if journal is not None:
-            self.wh.commit("frontier_journal", journal.limit(0), epoch,
-                           mode="overwrite", meta={"truncated": True})
+            self.wh.commit(
+                "frontier_journal", journal.limit(0), epoch,
+                mode="overwrite",
+                meta={"truncated": True, "compact_millis":
+                      int((time.time() - t_compact) * 1000)})
             latest.unpersist()
 
     def _revived_view(self, frontier: DataFrame, robots_dim,
@@ -414,13 +427,19 @@ class CrawlJob:
         # (ADVICE r2: no crash window can lose the row; also one less
         # serialized driver action per epoch). epoch_millis therefore
         # excludes the commit/barrier tail (~1-3 s) — the bench measures
-        # wall independently; the metric is the work phase.
+        # wall independently; the metric is the work phase. This ONE
+        # pre-sink measurement is the canonical epoch_millis: the same
+        # value is stamped into the metrics frame here AND into the
+        # barrier commit's meta below, so _backfill_metrics reconstructs
+        # byte-identical rows (ADVICE r3: the backfill used a post-sink
+        # remeasure, systematically larger for identical work).
         pre_stats = {
             "candidates": n_candidates, "blocked": n_blocked,
             "revived": n_revived, "posted": int(agg["posted"] or 0),
             "discovered": int(agg["discovered"] or 0),
             "inserted": n_inserted, "seconds": time.time() - t0,
         }
+        epoch_millis = int(pre_stats["seconds"] * 1000)
         sinks.append(("metrics", self._metrics_df(epoch, pre_stats,
                                                   bucket_rows)))
 
@@ -457,9 +476,10 @@ class CrawlJob:
                 "revived": n_revived,
                 "posted": int(agg["posted"] or 0),
                 "discovered": int(agg["discovered"] or 0),
-                # For crash backfill of the metrics row (the journal is the
-                # barrier; metrics commit after it — see _backfill_metrics).
-                "epoch_millis": int((time.time() - t0) * 1000),
+                # For crash backfill of the metrics row — the SAME
+                # canonical pre-sink value the metrics frame carries, so
+                # backfilled rows equal normal rows (see _backfill_metrics).
+                "epoch_millis": epoch_millis,
                 "bucket_rows": [[int(r["b"]), int(r["count"])]
                                 for r in bucket_rows],
             }
@@ -508,7 +528,7 @@ class CrawlJob:
                       "posted": int(agg["posted"] or 0),
                       "discovered": int(agg["discovered"] or 0),
                       "blocked": n_blocked, "revived": n_revived,
-                      "epoch_millis": int((time.time() - t0) * 1000),
+                      "epoch_millis": epoch_millis,
                       "bucket_rows": [[int(r["b"]), int(r["count"])]
                                       for r in bucket_rows],
                       "rewritten_buckets": len(rewrite_ids),
@@ -530,10 +550,12 @@ class CrawlJob:
         # Compaction is SIZE-triggered (journal outgrew mor_compact_rows —
         # the missing half of r2's MOR design: an epoch-counted trigger
         # lets the journal grow unboundedly at high update rates), with the
-        # epoch counter as a fallback for slow crawls. It runs before the
-        # metrics flush so its wall is attributed to the triggering epoch
-        # (compact_seconds) — benchmarks can't hide it — and its log event
-        # rides this epoch's single events commit. Crash-safe: the journal
+        # epoch counter as a fallback for slow crawls. Its wall is
+        # attributed to the triggering epoch in the run history
+        # (compact_seconds — the scaling bench sums it into epoch wall, so
+        # benchmarks can't hide it) and persisted durably as
+        # compact_millis in the compaction commit's meta; its log event
+        # rides the next buffered events flush. Crash-safe: the journal
         # barrier is already committed, and a lost compaction simply
         # re-triggers on the next epoch's size check.
         fold_chains = False
@@ -599,23 +621,32 @@ class CrawlJob:
 
     def _log(self, epoch: int, component: str, level: str,
              message: str) -> None:
-        """Buffer a structured log event; flushed with the metrics commit.
+        """Buffer a structured log event; flushed every
+        events_flush_epochs epochs and at end of run (_flush_events).
         The reference logs '<process-name>: <message>' lines to a rotating
         file; here the analogue is a queryable warehouse table."""
         self._events.append((epoch, component, level, message))
 
-    def _flush_events(self, epoch: int) -> None:
-        """Commit buffered events under ``epoch``'s append key. Rows keep
-        their OWN epoch values; the table is advisory — the correctness
-        surfaces are metrics + the snapshot tables — so it flushes ONCE
-        per run (the reference's logger buffers through a file handler
-        too): a per-epoch flush measurably costs ~1s of serialized driver
-        wall per epoch at any data size, all fixed overhead."""
+    def _flush_events(self) -> None:
+        """Commit buffered events under a UNIQUE per-flush key (the
+        table's snapshot sequence number, monotone across runs and
+        resumes), so a later flush can never replace an earlier flush's
+        files — commit(mode='append') replaces dirs per epoch KEY, and
+        round 3 keyed the single end-of-run flush by the max buffered
+        epoch, which let a resumed run on a finished crawl wipe the whole
+        event history (ADVICE r3). Rows keep their OWN epoch values; the
+        key is just commit bookkeeping. Flush cadence: every
+        ``events_flush_epochs`` epochs plus end-of-run (see run()) — the
+        reference logger writes eagerly through a rotating FileHandler
+        (libs/logging.py:16-64); per-epoch commits cost ~1 s of serialized
+        driver wall each, so K-epoch batching bounds both the crash loss
+        window and the fixed overhead."""
         if not self._events:
             return
         df = self.spark.createDataFrame(self._events, schema=EVENTS)
         self._events = []
-        self.wh.commit("events", df, epoch, mode="append")
+        seq = len((self.wh.manifest("events") or {}).get("snapshots", []))
+        self.wh.commit("events", df, seq, mode="append")
 
     def events_df(self) -> DataFrame:
         return self.wh.read("events")
@@ -628,9 +659,10 @@ class CrawlJob:
         xxhash64(url_hash) mod shuffle partitions (what an Iceberg
         bucket(url_hash) layout would record per data file).
 
-        Events do NOT flush here — they buffer across the run and commit
-        once at the end (every per-epoch driver action is serialized wall
-        the 4-core run cannot parallelize away). In the epoch loop the
+        Events do NOT flush here — they buffer and flush every
+        events_flush_epochs epochs under snapshot-seq keys (every
+        per-epoch driver action is serialized wall the 4-core run cannot
+        parallelize away). In the epoch loop the
         metrics frame rides the concurrent sink pool BEFORE the journal
         barrier (ADVICE r2: a crash between barrier and metrics would
         otherwise lose the epoch's row; _backfill_metrics remains as
@@ -696,6 +728,13 @@ class CrawlJob:
                 break
             stats = self.run_epoch(epoch)
             history.append(stats)
+            # Durable event log (VERDICT r3 #4): flush every K epochs so a
+            # crash loses at most the last K epochs' buffered events, not
+            # the whole run's. One tiny commit per K epochs — bounded
+            # fixed overhead (~1 s per flush in local mode).
+            if (cfg.events_flush_epochs
+                    and epoch % cfg.events_flush_epochs == 0):
+                self._flush_events()
             if stats["empty"]:
                 if verbose:
                     print(f"[epoch {epoch}] empty frontier")
@@ -713,12 +752,11 @@ class CrawlJob:
             self.compact_frontier(ran[-1]["epoch"])
         if cfg.persist_derived and ran:
             self.publish_tables()
-        if self._events:
-            # Leftover events (empty-frontier notice, stop marker) flush
-            # under their own newest epoch — a key no per-epoch flush used
-            # (those epochs never reached _commit_metrics), so the append
-            # replaces nothing.
-            self._flush_events(max(e for e, _, _, _ in self._events))
+        # Final flush of any buffered remainder (partial K-window, the
+        # empty-frontier notice, the stop marker). The snapshot-seq key
+        # makes this safe across runs: a resumed run's flush appends under
+        # a fresh key and can never replace earlier history.
+        self._flush_events()
         return history
 
     # -- derived tables (for stats / oracle queries) --------------------------

@@ -52,7 +52,11 @@ def consolidated_titles(scan_results: DataFrame,
 
     titled = scan_results.filter(
         F.col("title").isNotNull() & (F.col("title") != ""))
-    w = Window.partitionBy("host").orderBy("epoch", "url")
+    # Tie-break on title too (ADVICE r3): the fold and the simulator
+    # oracle sort full (epoch, url, title) tuples, so duplicate
+    # (epoch, url) observations at the cap boundary must select the same
+    # rows here or the retained set becomes plan-dependent.
+    w = Window.partitionBy("host").orderBy("epoch", "url", "title")
     capped = (titled.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= max_titles_per_host).drop("_rn"))
     per_host = capped.groupBy("host").agg(
