@@ -87,12 +87,32 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark, sf)
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+    # Scaling evidence rides as a compact summary only — the full
+    # interleaved sample detail lives in BENCH/scaling.json and
+    # BENCH/BASELINE.md. Keeping the RESULT line short matters: the
+    # driver parses the LAST stdout line, and an r3-sized line overflowed
+    # its tail capture (BENCH_r03.json parsed=null).
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            scaling = json.load(fh)
+            full = json.load(fh)
+        head = full.get("headline", {})
+        scaling = {
+            "efficiency": head.get("scaling_efficiency"),
+            "n_cores": head.get("n", {}).get("cores"),
+            "n_median_wall_sec": head.get("n", {}).get(
+                "median_wall_sec", head.get("n", {}).get("wall_sec")),
+            "four_n_median_wall_sec": head.get("four_n", {}).get(
+                "median_wall_sec", head.get("four_n", {}).get("wall_sec")),
+            "pairings_min_max": head.get("efficiency_pairings_min_max"),
+            "compaction_variant_efficiency": full.get(
+                "compaction_variant", {}).get("scaling_efficiency"),
+            "detail": "BENCH/scaling.json + BENCH/BASELINE.md",
+        }
+    spark.stop()  # stop BEFORE printing: nothing may follow the JSON line
+    sys.stderr.flush()
     print(json.dumps({
         "metric": "headline_queries_plus_crawl_wall",
         "value": total,
@@ -102,9 +122,7 @@ def main() -> None:
         "crawl": crawl,
         "scaling": scaling,
         "cpus": int(cpus),
-    }))
-    sys.stdout.flush()
-    spark.stop()
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -4,10 +4,11 @@ Images/audio/video ride as `binary` columns with a typed metadata struct —
 the Spark-side machinery (schema, batch iteration via mapInPandas, Arrow
 batch shapes, partition sizing) is real and tested. Dimensions are parsed
 from REAL container headers for PNG/GIF/JPEG payloads (``header_dims`` —
-pure stdlib, no imaging library needed); only pixel-level work (perceptual
-hashing, resize) is stubbed with deterministic fakes, and the
-library-backed path raises NotImplementedError behind an import-try (no
-imaging/audio libraries in this container).
+pure stdlib, no imaging library needed), and the perceptual hash is REAL
+for decodable PNGs (weblib.pngcodec: zlib inflate + scanline unfilter +
+8x8 average-hash — round 4). Pixel-level work for JPEG/GIF/video stays a
+deterministic fake, and the library-backed path raises NotImplementedError
+behind an import-try (no imaging/audio libraries in this container).
 
 At 100 TB the pattern matters more than the codec: payloads never pass
 through Python row-at-a-time — mapInPandas streams Arrow batches whose size
@@ -119,6 +120,21 @@ def _fake_phash(payload: bytes) -> int:
     return int.from_bytes(digest[8:16], "big", signed=True)
 
 
+def _phash64(payload: bytes) -> int:
+    """Perceptual hash: REAL 8x8 average-hash for decodable PNGs
+    (weblib.pngcodec — pure-stdlib zlib inflate + scanline unfilter, so
+    two PNGs with the same pixels at different compression levels hash
+    identically and near-identical images land within a small Hamming
+    distance). Everything else (JPEG/GIF pixel decode, video) stays a
+    deterministic byte-hash fake — genuinely env-blocked: no imaging
+    library in this container; see decode_image_features(use_real_codec)
+    for the integration point."""
+    from torspider_spark.weblib.pngcodec import png_average_hash
+
+    real = png_average_hash(payload)
+    return real if real is not None else _fake_phash(payload)
+
+
 def decode_image_features(media: DataFrame,
                           use_real_codec: bool = False) -> DataFrame:
     """payload -> (width, height, n_bytes, phash64) via Arrow batches.
@@ -146,7 +162,7 @@ def decode_image_features(media: DataFrame,
                 dims = header_dims(payload)
                 w, h = dims if dims is not None else _fake_dims(payload)
                 rows.append((media_id, w, h, len(payload),
-                             _fake_phash(payload)))
+                             _phash64(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes",
                                "phash64"])

@@ -1,0 +1,166 @@
+"""Pure-stdlib PNG pixel decode + 64-bit average hash (aHash).
+
+VERDICT r3 #3: the multimodal perceptual-hash path should be REAL where
+the environment allows. PNG needs only zlib (stdlib) plus per-scanline
+unfiltering, so ``decode_png`` implements the full non-interlaced 8-bit
+path — grayscale, grayscale+alpha, RGB, RGBA — per the PNG spec
+(RFC 2083 §6: filter types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth).
+``average_hash64`` turns the pixel buffer into the classic 8x8 aHash:
+luma, box-downsample to 64 cells, threshold at the cell mean. Two PNGs
+with identical pixels but different compression levels/filter choices
+hash identically; small pixel perturbations move few bits.
+
+Unsupported shapes (interlaced, 16-bit, palette) and corrupt streams
+return None — callers fall back to the deterministic fake
+(operators/multimodal.py), which remains the only path for JPEG/video
+(genuinely env-blocked: no imaging libraries in this container).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """payload -> (width, height, channels, pixels: bytearray) or None.
+
+    pixels is row-major, ``channels`` bytes per pixel, 8-bit samples.
+    Returns None for anything but a well-formed non-interlaced 8-bit
+    grayscale/GA/RGB/RGBA PNG (the caller's cue to use its fallback).
+    """
+    try:
+        if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos = 8
+        width = height = None
+        channels = None
+        idat = bytearray()
+        seen_end = False
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) < length:
+                return None  # truncated chunk
+            if ctype == b"IHDR":
+                if length != 13:
+                    return None
+                width, height, bit_depth, color_type, comp, filt, interlace \
+                    = struct.unpack(">IIBBBBB", data)
+                if (bit_depth != 8 or comp != 0 or filt != 0
+                        or interlace != 0 or color_type not in _CHANNELS):
+                    return None
+                channels = _CHANNELS[color_type]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                seen_end = True
+                break
+            pos += 12 + length  # length + type + data + crc
+        if width is None or not idat or not seen_end:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            return None
+        out = bytearray(height * stride)
+        prev_start = None
+        for y in range(height):
+            row_off = y * (stride + 1)
+            ftype = raw[row_off]
+            line = raw[row_off + 1:row_off + 1 + stride]
+            start = y * stride
+            if ftype == 0:                      # None
+                out[start:start + stride] = line
+            elif ftype == 1:                    # Sub
+                for x in range(stride):
+                    a = out[start + x - channels] if x >= channels else 0
+                    out[start + x] = (line[x] + a) & 0xFF
+            elif ftype == 2:                    # Up
+                if prev_start is None:
+                    out[start:start + stride] = line
+                else:
+                    for x in range(stride):
+                        out[start + x] = (line[x]
+                                          + out[prev_start + x]) & 0xFF
+            elif ftype == 3:                    # Average
+                for x in range(stride):
+                    a = out[start + x - channels] if x >= channels else 0
+                    b = out[prev_start + x] if prev_start is not None else 0
+                    out[start + x] = (line[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:                    # Paeth
+                for x in range(stride):
+                    a = out[start + x - channels] if x >= channels else 0
+                    b = out[prev_start + x] if prev_start is not None else 0
+                    c = (out[prev_start + x - channels]
+                         if prev_start is not None and x >= channels else 0)
+                    out[start + x] = (line[x] + _paeth(a, b, c)) & 0xFF
+            else:
+                return None
+            prev_start = start
+        return width, height, channels, out
+    except Exception:
+        return None
+
+
+def _luma_at(pixels, idx: int, channels: int) -> int:
+    """Integer Rec.601 luma of the pixel starting at byte ``idx``."""
+    if channels <= 2:        # grayscale (+alpha): first sample IS luma
+        return pixels[idx]
+    r, g, b = pixels[idx], pixels[idx + 1], pixels[idx + 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def average_hash64(width: int, height: int, channels: int,
+                   pixels) -> int:
+    """Classic 8x8 average hash over the luma plane, as a SIGNED 64-bit
+    int (Spark LongType). Cell (i, j) covers the pixel box
+    [i*h//8, (i+1)*h//8) x [j*w//8, (j+1)*w//8) (clamped to at least one
+    pixel for tiny images); bit 63 is the top-left cell. Deterministic and
+    compression-independent: only pixel values enter."""
+    def _box(i: int, size: int) -> tuple[int, int]:
+        lo = min(i * size // 8, size - 1)
+        hi = min(max((i + 1) * size // 8, lo + 1), size)
+        return lo, hi
+
+    cell_means = []
+    for i in range(8):
+        y0, y1 = _box(i, height)
+        for j in range(8):
+            x0, x1 = _box(j, width)
+            total = n = 0
+            for y in range(y0, y1):
+                row = y * width * channels
+                for x in range(x0, x1):
+                    total += _luma_at(pixels, row + x * channels, channels)
+                    n += 1
+            cell_means.append(total / n)
+    mean = sum(cell_means) / 64.0
+    bits = 0
+    for v in cell_means:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def png_average_hash(payload: bytes):
+    """payload -> signed 64-bit aHash, or None when decode_png can't
+    handle the stream (caller falls back to its deterministic fake)."""
+    decoded = decode_png(payload)
+    if decoded is None:
+        return None
+    return average_hash64(*decoded)
