@@ -278,6 +278,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count_distinct("content_md5").alias("distinct_fingerprints"),
             F.count("*").alias("n_docs"))
 
+    def q_media_features(spark, sf):  # multimodal Arrow-batch decode path
+        from torspider_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+        feats = multimodal.decode_image_features(media)
+        # Text-backed payloads have no image magic, so dims come from the
+        # deterministic sha256 fallback — which the DuckDB oracle
+        # reproduces bit-exactly (same digest bytes, same modulus).
+        return feats.agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"))
+
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
         query_vec = [float(x) for x in
@@ -486,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "media_features": q_media_features,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
         "rollup": q_rollup,
@@ -607,6 +622,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) "
             "AS cos_sim FROM embeddings, q "
             "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"
+        ),
+        "media_features": (
+            # The engine's deterministic fallback dims are 64 + digest
+            # byte N % (1920|1080) over sha256 of the payload bytes;
+            # DuckDB's sha256(VARCHAR) hashes the same UTF-8 bytes, and
+            # hex-pair -> byte arithmetic reproduces digest[0]/digest[1].
+            "WITH h AS (SELECT sha256(text) AS hx, "
+            "octet_length(encode(text)) AS nb FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_media, "
+            "CAST(sum(nb) AS BIGINT) AS total_bytes, "
+            "CAST(sum(64 + ((instr('0123456789abcdef', substr(hx,1,1))-1)*16"
+            " + instr('0123456789abcdef', substr(hx,2,1))-1) % 1920) "
+            "AS BIGINT) AS sum_width, "
+            "CAST(sum(64 + ((instr('0123456789abcdef', substr(hx,3,1))-1)*16"
+            " + instr('0123456789abcdef', substr(hx,4,1))-1) % 1080) "
+            "AS BIGINT) AS sum_height FROM h"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

@@ -130,6 +130,19 @@ def main() -> None:
         "rules dimension into the candidate slice; rule eval is one "
         "ArrowEvalPython over the joined text)", explain_str(flagged)))
 
+    # VERDICT r3 #6: the resurrection pass (TTL refresh re-evaluating the
+    # robots_blocked set) must stay cheap when the blocked set is large —
+    # the state filter reaches the parquet scan, so the pass reads only
+    # blocked rows, and the rules join is the same broadcast as the gate.
+    revived = job._revived_view(job.wh.read_buckets("frontier"),
+                                candidate.build_robots_dim(job.pages), 2)
+    sections.append((
+        "2.J resurrection pass — _revived_view over the blocked set "
+        "(watch: PushedFilters EqualTo(state,'robots_blocked') on the "
+        "frontier scan — the pass is pushed-filter-cheap however large "
+        "the frontier; rules dim broadcast as in the gate)",
+        explain_str(revived)))
+
     shards = dedup.BloomShards.build(frontier, cfg)
     probed = shards.probe(discovered)
     sections.append((
