@@ -144,9 +144,10 @@ def decode_image_features(media: DataFrame,
     """
     if use_real_codec and not _have_pillow():
         raise NotImplementedError(
-            "real image decode needs an imaging library (e.g. Pillow); "
-            "not present in this environment — the deterministic fake "
-            "below exercises the identical Spark plumbing")
+            "library-backed decode for ALL formats needs an imaging "
+            "library (e.g. Pillow), not present in this environment; the "
+            "default path already decodes PNG for real (weblib.pngcodec) "
+            "and uses a deterministic fake only for JPEG/GIF pixels")
 
     def batches(iterator):
         for pdf in iterator:

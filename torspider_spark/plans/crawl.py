@@ -44,7 +44,6 @@ from pyspark.sql import functions as F
 from torspider_spark.config import CrawlConfig
 from torspider_spark.operators import candidate, dedup, frontier as fr
 from torspider_spark.operators import pipeline
-from torspider_spark.schemas import EVENTS, METRICS
 from torspider_spark.sources.warehouse import Warehouse
 
 STOP_MARKER = "_STOP"  # the 'sleep' file analogue (TorSpider.py:109-114)
@@ -440,8 +439,11 @@ class CrawlJob:
             "inserted": n_inserted, "seconds": time.time() - t0,
         }
         epoch_millis = int(pre_stats["seconds"] * 1000)
-        sinks.append(("metrics", self._metrics_df(epoch, pre_stats,
-                                                  bucket_rows)))
+        # Round 4: the metrics rows live on the driver, so they commit
+        # via pyarrow (Warehouse.commit_local) — no Spark job, zero
+        # serialized wall — still BEFORE the journal barrier (same crash
+        # ordering as when they rode the sink pool).
+        self._commit_metrics(epoch, pre_stats, bucket_rows)
 
         def _commit_sink(name, df):
             if name == "frontier":
@@ -643,10 +645,13 @@ class CrawlJob:
         window and the fixed overhead."""
         if not self._events:
             return
-        df = self.spark.createDataFrame(self._events, schema=EVENTS)
+        rows = self._events
         self._events = []
         seq = len((self.wh.manifest("events") or {}).get("snapshots", []))
-        self.wh.commit("events", df, seq, mode="append")
+        from torspider_spark.schemas import events_arrow
+
+        self.wh.commit_local("events", rows, events_arrow(), seq,
+                             mode="append")
 
     def events_df(self) -> DataFrame:
         return self.wh.read("events")
@@ -666,22 +671,21 @@ class CrawlJob:
         metrics frame rides the concurrent sink pool BEFORE the journal
         barrier (ADVICE r2: a crash between barrier and metrics would
         otherwise lose the epoch's row; _backfill_metrics remains as
-        belt-and-braces for warehouses written by older code); this
-        helper commits directly and is used by the backfill path."""
-        self.wh.commit("metrics", self._metrics_df(epoch, stats, bucket_rows),
-                       epoch, mode="append")
+        belt-and-braces for warehouses written by older code). Round 4:
+        the rows are driver-resident, so this is a pyarrow commit_local —
+        no Spark job at all (was ~1 s of serialized wall per epoch)."""
+        from torspider_spark.schemas import metrics_arrow
 
-    def _metrics_df(self, epoch: int, stats: dict, bucket_rows: list
-                    ) -> DataFrame:
         rows = [
             (epoch, -1, name, int(stats[name]))
             for name in ("candidates", "blocked", "revived", "posted",
                          "discovered", "inserted")
         ]
         rows.append((epoch, -1, "epoch_millis", int(stats["seconds"] * 1000)))
-        rows.extend((epoch, int(r["b"]), "inserted_bucket_rows", int(r["count"]))
-                    for r in bucket_rows)
-        return self.spark.createDataFrame(rows, schema=METRICS)
+        rows.extend((epoch, int(r["b"]), "inserted_bucket_rows",
+                     int(r["count"])) for r in bucket_rows)
+        self.wh.commit_local("metrics", rows, metrics_arrow(), epoch,
+                             mode="append")
 
     def _backfill_metrics(self) -> None:
         """Heal the metrics table on resume (ADVICE r2): the epoch barrier

@@ -106,6 +106,32 @@ EVENTS = T.StructType(
     ]
 )
 
+def metrics_arrow():
+    """pyarrow mirror of METRICS for driver-local commits
+    (Warehouse.commit_local) — physical types match Spark's parquet
+    output (INT32/INT64/UTF8) so mixed-writer tables read uniformly."""
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("epoch", pa.int32(), nullable=False),
+        pa.field("partition_id", pa.int32(), nullable=False),
+        pa.field("metric", pa.string(), nullable=False),
+        pa.field("value", pa.int64(), nullable=False),
+    ])
+
+
+def events_arrow():
+    """pyarrow mirror of EVENTS (see metrics_arrow)."""
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("epoch", pa.int32(), nullable=False),
+        pa.field("component", pa.string(), nullable=False),
+        pa.field("level", pa.string(), nullable=False),
+        pa.field("message", pa.string(), nullable=False),
+    ])
+
+
 # Typed view of one parsed form (derived from the JSON strings on demand via
 # F.from_json; map keys can't be null in Spark so unnamed fields surface as
 # the JSON key "null" — the string form remains the exactness carrier).

@@ -93,6 +93,37 @@ class Warehouse:
                    previously appended for this same epoch (idempotent
                    epoch re-run; scan_results/metrics sinks).
         """
+        return self._commit_files(
+            name, lambda out: df.write.mode("error").parquet(out),
+            epoch, mode, meta)
+
+    def commit_local(self, name: str, rows: list, schema, epoch: int,
+                     mode: str = "append", meta: dict | None = None) -> dict:
+        """Commit driver-resident rows (metrics, log events) WITHOUT a
+        Spark job: the rows already live on the driver, so routing them
+        through createDataFrame + a write job buys nothing and costs ~1 s
+        of serialized wall per commit in local mode (job scheduling +
+        Py4J + task overhead — the per-epoch fixed-cost floor). pyarrow
+        writes one parquet file with the exact physical types Spark would
+        have produced (``schema`` is a pyarrow schema mirroring the table
+        StructType), manifest semantics identical to commit() — the
+        Iceberg shape, where metadata rows are written by the committer,
+        never by a cluster job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in rows], schema=schema)
+
+        def _write(out: str) -> None:
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(table, os.path.join(out, "part-00000.parquet"),
+                           compression="zstd")
+
+        return self._commit_files(name, _write, epoch, mode, meta)
+
+    def _commit_files(self, name: str, write_fn, epoch: int, mode: str,
+                      meta: dict | None) -> dict:
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         m = self.manifest(name) or {"table": name, "snapshots": [],
@@ -116,7 +147,7 @@ class Warehouse:
                     f"manifest corruption: next snapshot dir {data_dir} is "
                     f"already referenced by table {name}")
             shutil.rmtree(out_path)
-        df.write.mode("error").parquet(out_path)
+        write_fn(out_path)
 
         epoch_key = str(epoch)
         if mode == "overwrite":
