@@ -74,6 +74,13 @@ if flip:
 t0 = time.time()
 measured = job.run(max_epochs={measure})        # measured epochs
 total = time.time() - t0
+blocked_after = None
+if flip:
+    # Post-measurement evidence query (outside the timed window): under
+    # allow-all rules nothing may remain robots_blocked.
+    from pyspark.sql import functions as F
+    blocked_after = job.frontier_df().filter(
+        F.col("state") == "robots_blocked").count()
 # The north metric is urls/sec of EPOCH wall time. Mid-run journal
 # compactions are attributed to their triggering epoch (compact_seconds)
 # and COUNT toward epoch wall — hiding them would flatter the MOR path.
@@ -90,12 +97,15 @@ print("RESULT " + json.dumps({{
     "urls_discovered_deduped": inserted, "candidates": candidates,
     "posted": posted,
     "revived": sum(h.get("revived", 0) for h in measured),
+    "revived_total": sum(h.get("revived_total", 0) for h in measured),
+    "robots_blocked_after": blocked_after,
     "throughput": round(inserted / wall, 2),
     "pages_per_sec": round(posted / wall, 2),
     "per_epoch": [{{"epoch": h["epoch"], "sec": round(h["seconds"], 2),
                     "compact_sec": round(h.get("compact_seconds", 0.0), 2),
                     "candidates": h["candidates"],
                     "revived": h.get("revived", 0),
+                    "revived_total": h.get("revived_total", 0),
                     "inserted": h["inserted"]}} for h in measured],
 }}))
 spark.stop()
@@ -207,6 +217,9 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--skip-variants", action="store_true")
     parser.add_argument("--only-variants", action="store_true")
+    parser.add_argument("--only-flip", action="store_true",
+                        help="re-run just the robots-flip variant and "
+                             "refresh the artifacts")
     args = parser.parse_args()
 
     corpus = os.path.join(tempfile.gettempdir(), "torspider_scaling_corpus")
@@ -226,7 +239,7 @@ def main() -> None:
         f"efficiency from per-level MEDIAN throughput, all samples reported "
         f"(this VM's wall can swing 30-50% between identical runs)")
 
-    if not args.only_variants:
+    if not args.only_variants and not args.only_flip:
         small, big = interleaved(args.n, corpus, args.budget, args.warmup,
                                  args.measure, args.repeats)
         eff = round((big["median_throughput"] / small["median_throughput"])
@@ -241,13 +254,13 @@ def main() -> None:
             "scaling_efficiency": eff,
             "efficiency_pairings_min_max": [min(pairs), max(pairs)],
         }
-        existing["generated_at"] = datetime.now(timezone.utc).isoformat()
         print(json.dumps({"headline_efficiency": eff,
                           "n_samples": small["samples_wall_sec"],
                           "four_n_samples": big["samples_wall_sec"],
                           "pairings": [min(pairs), max(pairs)]}))
+    existing["generated_at"] = datetime.now(timezone.utc).isoformat()
 
-    if not args.skip_variants:
+    if not args.skip_variants and not args.only_flip:
         # Variant A (VERDICT r3 #2): force a size-triggered compaction
         # during the measured epochs — inserts ride the journal
         # (mor_insert_journal_max_rows high) and the row trigger is set
@@ -274,6 +287,7 @@ def main() -> None:
                           "four_n_compact_sec": [e["compact_sec"]
                                                  for e in cb["per_epoch"]]}))
 
+    if not args.skip_variants or args.only_flip:
         # Variant B (VERDICT r3 #6): robots flip mid-run — the first
         # measured epoch rebuilds the robots dimension against the
         # loosened corpus and pays the resurrection pass over the full
@@ -286,11 +300,17 @@ def main() -> None:
             "note": "warm-up on the normal corpus, measured epochs on a "
                     "robots-loosened copy (same warehouse): epoch 1 of "
                     "the measurement pays the TTL-refresh resurrection "
-                    "scan over the full robots_blocked set",
+                    "scan over the full robots_blocked set. revived_total "
+                    "counts every resurrected row (incl. ones immediately "
+                    "scheduled as candidates); robots_blocked_after is "
+                    "the post-run frontier count (must be 0 under "
+                    "allow-all rules)",
             "four_n": rb,
         }
-        print(json.dumps({"robots_flip_revived": rb["revived"],
-                          "robots_flip_wall": rb["wall_sec"]}))
+        print(json.dumps({
+            "robots_flip_revived_total": rb["revived_total"],
+            "robots_blocked_after": rb["robots_blocked_after"],
+            "robots_flip_wall": rb["wall_sec"]}))
 
     with open(out_path, "w") as fh:
         json.dump(existing, fh, indent=1)
@@ -310,7 +330,8 @@ def main() -> None:
         "corpus snapshot, two local parallelism levels, fresh JVM each,",
         "INTERLEAVED so host drift hits both levels equally.",
         "",
-        f"- corpus: BENCH spec (seeded, deterministic), protocol: {protocol}",
+        f"- corpus: BENCH spec (seeded, deterministic), protocol: "
+        f"{existing['headline']['protocol']}",
         "",
         "| cores | median wall (s) | all samples (s) | median throughput "
         "(urls/s) | urls discovered+deduped |",
@@ -372,8 +393,12 @@ def main() -> None:
             "see BENCH/PLANS.md).",
             "",
             f"- local[{r['cores']}]: wall {r['wall_sec']} s, resurrected "
-            f"{r['revived']} urls, per-epoch "
-            f"{[(e['epoch'], e['sec'], e['revived']) for e in r['per_epoch']]}",
+            f"{r.get('revived_total', r['revived'])} urls "
+            f"({r['revived']} of them re-journaled as pending, the rest "
+            f"immediately scheduled), robots_blocked after the run: "
+            f"{r.get('robots_blocked_after')}; per-epoch (epoch, sec, "
+            f"revived_total) "
+            f"{[(e['epoch'], e['sec'], e.get('revived_total', 0)) for e in r['per_epoch']]}",
         ]
     lines += [
         "",

@@ -315,12 +315,22 @@ class CrawlJob:
             F.sum(F.size("new_urls")).alias("discovered"),
         ).crossJoin(blocked.agg(F.count("*").alias("nb")))
         if revived_only is not None:
-            agg_f = agg_f.crossJoin(
-                revived_only.agg(F.count("*").alias("n_revived")))
+            # Same single collect: revived_only rows (persist as pending —
+            # the journal/meta 'revived' counter) AND the TOTAL revived
+            # count incl. rows that immediately became candidates (the
+            # resurrection evidence a bench reads — scheduled revivals
+            # are otherwise invisible in per-epoch counters).
+            agg_f = (agg_f
+                     .crossJoin(revived_only.agg(
+                         F.count("*").alias("n_revived")))
+                     .crossJoin(revived.agg(
+                         F.count("*").alias("n_revived_total"))))
         agg = agg_f.collect()[0]
         n_candidates = int(agg["n"] or 0)
         n_blocked = int(agg["nb"] or 0)
         n_revived = int(agg["n_revived"]) if revived_only is not None else 0
+        n_revived_total = (int(agg["n_revived_total"])
+                           if revived_only is not None else 0)
         if n_candidates == 0 and n_blocked == 0:
             flagged.unpersist()
             internal.unpersist()
@@ -329,9 +339,9 @@ class CrawlJob:
             self._log(epoch, "crawl", "info", "empty frontier: nothing "
                       "eligible this epoch, loop will stop")
             return {"epoch": epoch, "candidates": 0, "blocked": 0,
-                    "revived": 0, "posted": 0, "discovered": 0,
-                    "inserted": 0, "seconds": time.time() - t0,
-                    "empty": True}
+                    "revived": 0, "revived_total": 0, "posted": 0,
+                    "discovered": 0, "inserted": 0,
+                    "seconds": time.time() - t0, "empty": True}
 
         # Sink 1: the SpiderURL records (parse-queue analogue, A4), plus the
         # persisted derived tables (SpiderStats.py:69,113-116,144-146):
@@ -541,6 +551,7 @@ class CrawlJob:
             "candidates": n_candidates,
             "blocked": n_blocked,
             "revived": n_revived,
+            "revived_total": n_revived_total,
             "posted": int(agg["posted"] or 0),
             "discovered": int(agg["discovered"] or 0),
             "inserted": n_inserted,
