@@ -148,6 +148,37 @@ def test_unsupported_shapes_fall_back_to_fake():
         assert _phash64(bad) == _fake_phash(bad)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        width=st.integers(1, 24), height=st.integers(1, 16),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        level=st.integers(0, 9),
+        seed=st.integers(0, 2**32 - 1),
+        data=st.data())
+    def test_roundtrip_property(width, height, channels, level, seed, data):
+        """Any pixel buffer survives encode(filters, level) -> decode
+        byte-exactly, for arbitrary per-row filter choices."""
+        import random as _random
+
+        rng = _random.Random(seed)
+        px = bytes(rng.randrange(256)
+                   for _ in range(width * height * channels))
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=height,
+                                     max_size=height))
+        payload = encode_png(width, height, channels, px, level=level,
+                             filters=filters)
+        got = decode_png(payload)
+        assert got is not None
+        assert (got[0], got[1], got[2]) == (width, height, channels)
+        assert bytes(got[3]) == px
+except ImportError:  # hypothesis is in this image, but stay import-safe
+    pass
+
+
 def test_signed_64bit_range():
     """Hashes must fit Spark LongType (signed)."""
     for seed in range(6):
