@@ -91,6 +91,15 @@ class CrawlConfig:
     # links/forms/pages appended per epoch (epoch-slice only — no recompute),
     # urls/onions rolled up at publish_tables() (end of run).
     persist_derived: bool = True
+    # Snapshot retention (Iceberg expire_snapshots analogue): after each
+    # journal compaction, drop unreferenced snapshot dirs of the frontier
+    # tables, keeping the last K snapshots of history. A long crawl
+    # otherwise accumulates one garbage dir per epoch (journal appends
+    # superseded by truncations, rewritten bucket dirs). 0 = keep
+    # everything (default — full rollback history). Expiry runs ONLY
+    # right after a truncation, so the journal's newest snapshot is
+    # always the overwrite and the manifest row-count walk stays exact.
+    expire_keep_snapshots: int = 0
     # Durable event log cadence: buffered events flush every K epochs
     # (plus once at end of run) under unique snapshot-seq commit keys, so
     # a crash loses at most the last K epochs' events and a re-flush can

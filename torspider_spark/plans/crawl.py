@@ -254,6 +254,17 @@ class CrawlJob:
                 meta={"truncated": True, "compact_millis":
                       int((time.time() - t_compact) * 1000)})
             latest.unpersist()
+        # Snapshot expiry rides the compaction (Iceberg maintenance
+        # shape): this is the one moment the journal's newest snapshot is
+        # guaranteed to be the truncation overwrite, so expiring history
+        # can never confuse the manifest row-count walk (_journal_rows
+        # stops at the first overwrite). Bounded-disk guarantee for long
+        # crawls; rollback depth shrinks to the retained window.
+        if cfg.expire_keep_snapshots:
+            self.wh.expire_snapshots("frontier", cfg.expire_keep_snapshots)
+            if journal is not None:
+                self.wh.expire_snapshots("frontier_journal",
+                                         cfg.expire_keep_snapshots)
 
     def _revived_view(self, frontier: DataFrame, robots_dim,
                       epoch: int) -> DataFrame:

@@ -122,13 +122,24 @@ class Warehouse:
 
         return self._commit_files(name, _write, epoch, mode, meta)
 
+    @staticmethod
+    def _next_seq(m: dict) -> int:
+        """Monotone snapshot sequence, persisted in the manifest: deriving
+        it from len(snapshots) breaks once expire_snapshots trims history
+        (a re-used sequence number collides with a still-referenced dir).
+        Falls back to the list length for manifests written before the
+        counter existed."""
+        seq = int(m.get("next_seq", len(m["snapshots"])))
+        m["next_seq"] = seq + 1
+        return seq
+
     def _commit_files(self, name: str, write_fn, epoch: int, mode: str,
                       meta: dict | None) -> dict:
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         m = self.manifest(name) or {"table": name, "snapshots": [],
                                     "current_dirs": [], "epoch_dirs": {}}
-        seq = len(m["snapshots"])
+        seq = self._next_seq(m)
         data_dir = f"snap-{epoch:06d}-{seq:04d}"
         out_path = os.path.join(tdir, data_dir)
         if os.path.exists(out_path):
@@ -307,7 +318,7 @@ class Warehouse:
                                     "current_dirs": [], "epoch_dirs": {},
                                     "buckets": {}}
         m.setdefault("buckets", {})
-        seq = len(m["snapshots"])
+        seq = self._next_seq(m)
         buckets = {b: list(dirs) for b, dirs in m["buckets"].items()}
 
         data_dir = f"snap-{epoch:06d}-{seq:04d}"
