@@ -63,3 +63,53 @@ def test_streaming_change_detection(spark, corpus_dir, tmp_path_factory):
     assert {r.n_seen for r in rows} <= {1, 2}
     n_pages = pages.count()
     assert len(urls) == n_pages
+
+
+def test_streaming_windowed_metrics_watermark_drops_late(
+        spark, tmp_path_factory):
+    """Event-time windowed rollup (G6 twin) under a watermark: a row
+    arriving later than the watermark allows lands in an
+    already-finalized window and is DROPPED; on-time rows aggregate
+    exactly once (append mode emits each window once, closed)."""
+    from datetime import datetime
+
+    def ts(minute):
+        return datetime(2026, 1, 1, 10, minute)
+
+    def rows(*items):
+        return spark.createDataFrame(
+            [(url, t, b"", "", "en") for url, t in items], PAGES)
+
+    src = str(tmp_path_factory.mktemp("stream_src3") / "pages")
+    ck = str(tmp_path_factory.mktemp("ck3"))
+
+    # batch 1: three on-time rows for host a in [10:00, 10:10), plus a
+    # host b row at 10:21 that will advance the watermark to 10:16.
+    rows(("http://a.onion/1", ts(1)), ("http://a.onion/2", ts(3)),
+         ("http://a.onion/3", ts(5)), ("http://b.onion/1", ts(21))
+         ).coalesce(1).write.mode("append").parquet(src)
+
+    query = crawl_stream.run_windowed_metrics_to_memory(
+        spark, src, ck, "t_metrics",
+        window="10 minutes", watermark="5 minutes")
+    try:
+        query.processAllAvailable()
+        # batch 2: a LATE host-a row at 10:04 — the watermark (10:16)
+        # already passed its window's end (10:10) — plus a fresh row at
+        # 10:35 pushing the watermark onward.
+        rows(("http://a.onion/late", ts(4)),
+             ("http://a.onion/4", ts(35))
+             ).coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()
+        # batch 3: advance the watermark so [10:20, 10:30) finalizes too.
+        rows(("http://c.onion/1", ts(50))
+             ).coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = {(r.window_start.minute, r.host): r.n_pages
+           for r in spark.sql("SELECT * FROM t_metrics").collect()}
+    # the late 10:04 row did NOT reopen or inflate the closed window
+    assert got[(0, "a.onion")] == 3
+    assert got[(20, "b.onion")] == 1

@@ -92,6 +92,47 @@ def changed_pages_stream(pages: DataFrame) -> DataFrame:
     )
 
 
+def windowed_host_metrics_stream(pages: DataFrame,
+                                 window: str = "10 minutes",
+                                 watermark: str = "5 minutes") -> DataFrame:
+    """G6's per-epoch rollup as an event-time stream: page counts per
+    (host, warc_ts window) with a WATERMARK bounding both the state store
+    and late data — rows arriving more than ``watermark`` behind the max
+    observed warc_ts fall into already-finalized windows and are dropped,
+    exactly the Iceberg-ingest lateness contract a production crawl
+    stream needs. Append output mode: a window emits once, when the
+    watermark passes its end (closed, exact counts)."""
+    hosted = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.col("warc_ts"))
+    return (
+        hosted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "host")
+        .agg(F.count("*").alias("n_pages"),
+             F.max("warc_ts").alias("latest_ts"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "host", "n_pages", "latest_ts")
+    )
+
+
+def run_windowed_metrics_to_memory(spark: SparkSession, pages_dir: str,
+                                   checkpoint_dir: str,
+                                   query_name: str = "stream_metrics",
+                                   **kwargs):
+    """Drive the windowed-metrics stream over whatever files are present,
+    leaving the query object to the caller (tests feed late batches
+    between processAllAvailable() calls)."""
+    stream = windowed_host_metrics_stream(
+        read_pages_stream(spark, pages_dir), **kwargs)
+    return (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_discovery_to_memory(spark: SparkSession, pages_dir: str,
                             checkpoint_dir: str,
                             query_name: str = "stream_links"):
