@@ -122,16 +122,22 @@ def _fake_phash(payload: bytes) -> int:
 
 def _phash64(payload: bytes) -> int:
     """Perceptual hash: REAL 8x8 average-hash for decodable PNGs
-    (weblib.pngcodec — pure-stdlib zlib inflate + scanline unfilter, so
-    two PNGs with the same pixels at different compression levels hash
-    identically and near-identical images land within a small Hamming
-    distance). Everything else (JPEG/GIF pixel decode, video) stays a
-    deterministic byte-hash fake — genuinely env-blocked: no imaging
-    library in this container; see decode_image_features(use_real_codec)
-    for the integration point."""
+    (weblib.pngcodec — pure-stdlib zlib inflate + scanline unfilter) and
+    GIFs (weblib.gifcodec — pure-stdlib LZW + palette + interlace, first
+    frame), so same-pixels payloads hash identically across encoders and
+    near-identical images land within a small Hamming distance. Only
+    JPEG pixel decode and video remain a deterministic byte-hash fake —
+    genuinely env-blocked: no imaging library in this container; see
+    decode_image_features(use_real_codec) for the integration point."""
+    from torspider_spark.weblib.gifcodec import gif_average_hash
     from torspider_spark.weblib.pngcodec import png_average_hash
 
-    real = png_average_hash(payload)
+    if payload.startswith(b"\x89PNG"):
+        real = png_average_hash(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        real = gif_average_hash(payload)
+    else:
+        real = None
     return real if real is not None else _fake_phash(payload)
 
 

@@ -1,0 +1,153 @@
+"""Pure-stdlib GIF pixel decode (first frame) for the perceptual hash.
+
+Round 4 follow-through on the multimodal pixel path: GIF needs no
+external library either — the format is LZW (variable-width codes,
+LSB-first bitstream, dictionary reset on CLEAR) over palette indices,
+plus the four-pass interlace row shuffle. ``decode_gif`` returns the
+first frame as RGB for ``pngcodec.average_hash64``; anything malformed
+returns None and the caller falls back to its deterministic fake.
+
+Scope: static + animated GIF87a/89a (first frame only), global/local
+color tables, interlaced and non-interlaced. Frames smaller than the
+logical screen hash as the frame itself — position offsets don't affect
+near-duplicate detection semantics.
+"""
+
+from __future__ import annotations
+
+MAX_CODE_WIDTH = 12  # per the GIF spec; codes never exceed 12 bits
+
+
+def _color_table(data: bytes, pos: int, flags: int) -> tuple[list, int]:
+    if not flags & 0x80:
+        return [], pos
+    n = 2 << (flags & 0x07)
+    table = [tuple(data[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+    return table, pos + 3 * n
+
+
+def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += data[pos:pos + n]
+        if len(out) - len(data[pos:pos + n]) + n > len(data):
+            raise ValueError("truncated sub-block payload")
+        pos += n
+
+
+def _lzw_decode(mcs: int, stream: bytes, n_pixels: int) -> bytearray:
+    """Variable-width LSB-first LZW per GIF89a appendix F."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    # dictionary: code -> byte sequence
+    base = {i: bytes([i]) for i in range(1 << mcs)}
+    table = dict(base)
+    width = mcs + 1
+    next_code = end + 1
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in stream:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = dict(base)
+                next_code = end + 1
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("bad first code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("code out of range")
+            out += entry
+            if prev is not None and next_code < (1 << MAX_CODE_WIDTH):
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if (next_code == (1 << width)
+                        and width < MAX_CODE_WIDTH):
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _deinterlace(indices: bytearray, width: int, height: int) -> bytearray:
+    out = bytearray(len(indices))
+    src_row = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, height, step):
+            out[y * width:(y + 1) * width] = \
+                indices[src_row * width:(src_row + 1) * width]
+            src_row += 1
+    return out
+
+
+def decode_gif(payload: bytes):
+    """payload -> (width, height, 3, rgb bytes) of the FIRST frame, or
+    None for non-GIF/corrupt streams (caller falls back to the fake)."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            return None
+        flags = payload[10]
+        gct, pos = _color_table(payload, 13, flags)
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:       # trailer
+                return None
+            if block == 0x21:       # extension: label + sub-blocks
+                _, pos = _sub_blocks(payload, pos + 2)
+                continue
+            if block != 0x2C:       # image descriptor
+                return None
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            iflags = payload[pos + 9]
+            table, pos = _color_table(payload, pos + 10, iflags)
+            if not table:
+                table = gct
+            if not table or not w or not h:
+                return None
+            mcs = payload[pos]
+            stream, pos = _sub_blocks(payload, pos + 1)
+            indices = _lzw_decode(mcs, stream, w * h)
+            if len(indices) < w * h:
+                return None
+            if iflags & 0x40:
+                indices = _deinterlace(indices[:w * h], w, h)
+            rgb = bytearray(w * h * 3)
+            n = len(table)
+            for i in range(w * h):
+                rgb[3 * i:3 * i + 3] = table[indices[i] % n]
+            return w, h, 3, rgb
+        return None
+    except Exception:
+        return None
+
+
+def gif_average_hash(payload: bytes):
+    """payload -> signed 64-bit aHash of the first frame, or None."""
+    from torspider_spark.weblib.pngcodec import average_hash64
+
+    decoded = decode_gif(payload)
+    if decoded is None:
+        return None
+    return average_hash64(*decoded)
