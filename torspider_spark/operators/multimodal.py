@@ -125,17 +125,23 @@ def _phash64(payload: bytes) -> int:
     (weblib.pngcodec — pure-stdlib zlib inflate + scanline unfilter) and
     GIFs (weblib.gifcodec — pure-stdlib LZW + palette + interlace, first
     frame), so same-pixels payloads hash identically across encoders and
-    near-identical images land within a small Hamming distance. Only
-    JPEG pixel decode and video remain a deterministic byte-hash fake —
-    genuinely env-blocked: no imaging library in this container; see
+    near-identical images land within a small Hamming distance.
+    Baseline JPEG decodes too (weblib.jpegcodec — huffman + dequant +
+    IDCT + chroma upsampling; aHash tolerates JPEG's lossiness by
+    design, so the hash is stable across qualities). Only non-baseline
+    JPEG (progressive/arithmetic) and video remain a deterministic
+    byte-hash fake — no imaging library in this container; see
     decode_image_features(use_real_codec) for the integration point."""
     from torspider_spark.weblib.gifcodec import gif_average_hash
+    from torspider_spark.weblib.jpegcodec import jpeg_average_hash
     from torspider_spark.weblib.pngcodec import png_average_hash
 
     if payload.startswith(b"\x89PNG"):
         real = png_average_hash(payload)
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         real = gif_average_hash(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        real = jpeg_average_hash(payload)
     else:
         real = None
     return real if real is not None else _fake_phash(payload)
