@@ -306,3 +306,52 @@ def test_minhash_families_are_independent(spark):
     expected = [min(spark_xxhash64(I32(i), s) for s in shingles)
                 for i in range(6)]
     assert list(sig) == expected
+
+
+def test_video_frame_sampling_real_for_animated_gif(spark):
+    """Round 4: frame sampling is REAL for animated GIF — every_n-th
+    composed frame is average-hashed; non-GIF payloads keep the
+    deterministic fake plumbing."""
+    from tests.test_gifcodec import PALETTE8, _checker, encode_animated_gif
+    from torspider_spark.weblib.gifcodec import decode_gif_frames
+    from torspider_spark.weblib.pngcodec import average_hash64
+
+    frames = [dict(left=0, top=0, w=12, h=10,
+                   indices=_checker(12, 10, (i % 7) + 1))
+              for i in range(5)]
+    gif = encode_animated_gif(12, 10, PALETTE8, frames)
+    rows = [(1, "video", gif, "image/gif", None),
+            (2, "video", b"\x00" * 30_000, "video/mp4", None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    got = multimodal.sample_video_frames(media, every_n=2,
+                                         max_frames=2).collect()
+    gif_rows = sorted((r.frame_idx, r.frame_phash64)
+                      for r in got if r.media_id == 1)
+    composed = decode_gif_frames(gif)
+    assert gif_rows == [(0, average_hash64(*composed[0])),
+                        (2, average_hash64(*composed[2]))]
+    # the fake path still emits rows for undecodable containers
+    assert any(r.media_id == 2 for r in got)
+
+
+def test_image_thumbnails_real_resize(spark):
+    """Round 4: box-average resize produces identical thumbnails for the
+    same pixels across codecs; undecodable payloads yield NULL thumbs."""
+    from tests.test_gifcodec import PALETTE8, _checker, encode_gif
+    from tests.test_pngcodec import encode_png
+    from torspider_spark.weblib.pngcodec import box_resize_luma
+
+    idx = _checker(40, 30, 8)
+    rgb = b"".join(bytes(PALETTE8[i]) for i in idx)
+    expected = box_resize_luma(40, 30, 3, rgb, 8, 6)
+    rows = [(1, "image", encode_png(40, 30, 3, rgb), "image/png", None),
+            (2, "image", encode_gif(40, 30, PALETTE8, idx), "image/gif",
+             None),
+            (3, "image", b"not an image", "text/plain", None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA)
+    got = {r.media_id: (r.thumb_w, r.thumb_h,
+                        bytes(r.thumb) if r.thumb is not None else None)
+           for r in multimodal.image_thumbnails(media, 8, 6).collect()}
+    assert got[1] == (8, 6, expected)
+    assert got[2] == (8, 6, expected)
+    assert got[3] == (8, 6, None)

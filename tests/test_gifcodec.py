@@ -180,3 +180,82 @@ try:
         assert bytes(got[3]) == b"".join(bytes(palette[i]) for i in idx)
 except ImportError:
     pass
+
+
+def encode_animated_gif(cw, ch, palette, frames, bg_idx=0):
+    """Multi-frame GIF: frames = dicts(left, top, w, h, indices,
+    disposal=0, transparent=None)."""
+    n = len(palette)
+    size_bits = max(1, (n - 1).bit_length())
+    table = list(palette) + [(0, 0, 0)] * ((1 << size_bits) - n)
+    out = bytearray(b"GIF89a")
+    out += cw.to_bytes(2, "little") + ch.to_bytes(2, "little")
+    out += bytes([0x80 | (size_bits - 1), bg_idx, 0])
+    for rgb in table:
+        out += bytes(rgb)
+    mcs = max(2, size_bits)
+    for f in frames:
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        gflags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                      transparent or 0, 0])
+        out += b"\x2c"
+        out += f["left"].to_bytes(2, "little")
+        out += f["top"].to_bytes(2, "little")
+        out += f["w"].to_bytes(2, "little")
+        out += f["h"].to_bytes(2, "little")
+        out += b"\x00" + bytes([mcs])
+        data = _lzw_encode(mcs, bytes(f["indices"]))
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_animated_gif_composition_transparency_disposal():
+    from torspider_spark.weblib.gifcodec import decode_gif_frames
+
+    pal = [(10, 10, 10), (250, 250, 250), (200, 0, 0), (0, 200, 0)]
+    base = _checker(16, 12, 2)                    # colors 0/1 full canvas
+    patch = bytes([2] * 4 + [3, 3] + [2] * 2 +    # 4x2 patch, color 3
+                  [0] * 0)                        # transparent idx 3 later
+    frames = [
+        dict(left=0, top=0, w=16, h=12, indices=base),
+        dict(left=5, top=4, w=4, h=2, indices=patch, transparent=3),
+        dict(left=0, top=0, w=2, h=2, indices=bytes([2] * 4),
+             disposal=2),
+        dict(left=14, top=10, w=2, h=2, indices=bytes([3] * 4)),
+    ]
+    got = decode_gif_frames(encode_animated_gif(16, 12, pal, frames))
+    assert got is not None and len(got) == 4
+    w, h = 16, 12
+
+    def px(frame, x, y):
+        return tuple(frame[3][3 * (y * w + x):3 * (y * w + x) + 3])
+
+    # frame 0: plain checker
+    assert px(got[0], 0, 0) == pal[base[0]]
+    # frame 1: patch overlays at (5,4); transparent index 3 shows through
+    assert px(got[1], 5, 4) == pal[2]
+    assert px(got[1], 9, 4) == pal[base[4 * w + 9]]   # transparent spot
+    assert px(got[1], 10, 4) == pal[base[4 * w + 10]]  # outside patch
+    # frame 2: 2x2 red block at origin (disposal=2 applies AFTER render)
+    assert px(got[2], 0, 0) == pal[2]
+    # frame 3: origin restored to BACKGROUND color; new block at (14,10)
+    assert px(got[3], 0, 0) == pal[0]
+    assert px(got[3], 14, 10) == pal[3]
+    # patch from frame 1 persists (disposal 0 = leave in place)
+    assert px(got[3], 5, 4) == pal[2]
+
+
+def test_decode_gif_frames_first_matches_decode_gif():
+    from torspider_spark.weblib.gifcodec import decode_gif_frames
+
+    idx = _checker(20, 14, 8)
+    payload = encode_gif(20, 14, PALETTE8, idx)
+    frames = decode_gif_frames(payload)
+    assert frames is not None and len(frames) == 1
+    assert bytes(frames[0][3]) == bytes(decode_gif(payload)[3])

@@ -48,6 +48,13 @@ FRAME_SAMPLES = T.StructType([
     T.StructField("frame_phash64", T.LongType(), True),
 ])
 
+THUMBNAILS = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("thumb_w", T.IntegerType(), False),
+    T.StructField("thumb_h", T.IntegerType(), False),
+    T.StructField("thumb", T.BinaryType(), True),   # grayscale, row-major
+])
+
 
 def _have_pillow() -> bool:
     try:
@@ -186,18 +193,83 @@ def decode_image_features(media: DataFrame,
         batches, schema=IMAGE_FEATURES)
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 10,
-                        max_frames: int = 8) -> DataFrame:
-    """Frame-sampling plumbing: emits (media_id, frame_idx, frame_phash64)
-    rows — a 1:N mapInPandas expansion with deterministic fake frames."""
+def _decode_pixels(payload: bytes):
+    """Shared pixel-decode dispatch: (w, h, channels, pixels) for
+    PNG / GIF (first frame) / baseline JPEG, else None."""
+    from torspider_spark.weblib.gifcodec import decode_gif
+    from torspider_spark.weblib.jpegcodec import decode_jpeg
+    from torspider_spark.weblib.pngcodec import decode_png
+
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return decode_jpeg(payload)
+    return None
+
+
+def image_thumbnails(media: DataFrame, thumb_w: int = 16,
+                     thumb_h: int = 16) -> DataFrame:
+    """REAL resize (round 4): (thumb_w x thumb_h) grayscale thumbnails
+    via box-average over the decoded luma plane, for every payload the
+    pure-stdlib codecs can decode (PNG / GIF / baseline JPEG); NULL
+    thumb otherwise — downstream training pipelines filter on it. Same
+    Arrow-batch shape as the feature pass: payloads projected away in
+    this one mapInPandas, only (B + 16) bytes per row survive."""
 
     def batches(iterator):
+        from torspider_spark.weblib.pngcodec import box_resize_luma
+
+        for pdf in iterator:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                thumb = None
+                if payload is not None:
+                    decoded = _decode_pixels(bytes(payload))
+                    if decoded is not None:
+                        thumb = box_resize_luma(*decoded, thumb_w, thumb_h)
+                rows.append((media_id, thumb_w, thumb_h, thumb))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "thumb_w", "thumb_h", "thumb"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=THUMBNAILS)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10,
+                        max_frames: int = 8) -> DataFrame:
+    """Frame sampling: emits (media_id, frame_idx, frame_phash64) rows —
+    a 1:N mapInPandas expansion. REAL for animated GIF (round 4: the one
+    video-ish container decodable pure-stdlib — weblib.gifcodec
+    composes each frame onto the canvas honoring offsets, transparency
+    and disposal, and every ``every_n``-th composed frame is
+    average-hashed); other containers (mp4/webm — env-blocked, no codec
+    library) keep the deterministic fake so the plumbing stays
+    exercised end-to-end."""
+
+    def batches(iterator):
+        from torspider_spark.weblib.gifcodec import decode_gif_frames
+        from torspider_spark.weblib.pngcodec import average_hash64
+
         for pdf in iterator:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
+                frames = (decode_gif_frames(
+                    payload, max_frames=every_n * (max_frames - 1) + 1)
+                    if payload[:6] in (b"GIF87a", b"GIF89a") else None)
+                if frames is not None:
+                    emitted = 0
+                    for idx in range(0, len(frames), every_n):
+                        rows.append((media_id, idx,
+                                     average_hash64(*frames[idx])))
+                        emitted += 1
+                        if emitted >= max_frames:
+                            break
+                    continue
                 n = min(max_frames, 1 + len(payload) // (every_n * 1024))
                 for idx in range(n):
                     frame = hashlib.sha256(payload + idx.to_bytes(4, "big"))

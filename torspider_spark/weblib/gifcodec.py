@@ -151,3 +151,93 @@ def gif_average_hash(payload: bytes):
     if decoded is None:
         return None
     return average_hash64(*decoded)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 64):
+    """Animated-GIF frame decode WITH composition: returns a list of
+    (canvas_w, canvas_h, 3, rgb) snapshots, one per rendered frame —
+    each frame drawn at its (left, top) offset over the previous canvas
+    state, honoring the Graphic Control Extension's transparency index
+    and disposal methods 0/1 (leave) and 2 (restore region to
+    background). This is the engine's REAL 'video' frame-sampling path
+    (operators/multimodal.sample_video_frames): animated GIF is the one
+    video-ish container decodable pure-stdlib. Returns None for
+    non-GIF/corrupt payloads."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            return None
+        cw = int.from_bytes(payload[6:8], "little")
+        ch = int.from_bytes(payload[8:10], "little")
+        flags = payload[10]
+        bg_idx = payload[11]
+        gct, pos = _color_table(payload, 13, flags)
+        bg = gct[bg_idx] if gct and bg_idx < len(gct) else (0, 0, 0)
+        if not cw or not ch:
+            return None
+        canvas = bytearray(bytes(bg) * (cw * ch))
+        frames = []
+        transparent = None
+        disposal = 0
+        while pos < len(payload) and len(frames) < max_frames:
+            block = payload[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                label = payload[pos + 1]
+                if label == 0xF9 and payload[pos + 2] >= 4:
+                    gflags = payload[pos + 3]
+                    disposal = (gflags >> 2) & 0x07
+                    transparent = (payload[pos + 6]
+                                   if gflags & 0x01 else None)
+                _, pos = _sub_blocks(payload, pos + 2)
+                continue
+            if block != 0x2C:
+                return None
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            iflags = payload[pos + 9]
+            table, pos = _color_table(payload, pos + 10, iflags)
+            if not table:
+                table = gct
+            if not table or not w or not h:
+                return None
+            mcs = payload[pos]
+            stream, pos = _sub_blocks(payload, pos + 1)
+            indices = _lzw_decode(mcs, stream, w * h)
+            if len(indices) < w * h:
+                return None
+            if iflags & 0x40:
+                indices = _deinterlace(indices[:w * h], w, h)
+            n = len(table)
+            for y in range(h):
+                cy = top + y
+                if cy >= ch:
+                    break
+                for x in range(w):
+                    cx = left + x
+                    if cx >= cw:
+                        continue
+                    idx = indices[y * w + x] % n
+                    if transparent is not None and idx == transparent:
+                        continue
+                    canvas[3 * (cy * cw + cx):3 * (cy * cw + cx) + 3] = \
+                        bytes(table[idx])
+            frames.append((cw, ch, 3, bytearray(canvas)))
+            if disposal == 2:       # restore frame region to background
+                for y in range(h):
+                    cy = top + y
+                    if cy >= ch:
+                        break
+                    for x in range(w):
+                        cx = left + x
+                        if cx >= cw:
+                            continue
+                        canvas[3 * (cy * cw + cx):
+                               3 * (cy * cw + cx) + 3] = bytes(bg)
+            transparent = None
+            disposal = 0
+        return frames or None
+    except Exception:
+        return None

@@ -124,30 +124,48 @@ def _luma_at(pixels, idx: int, channels: int) -> int:
     return (299 * r + 587 * g + 114 * b) // 1000
 
 
-def average_hash64(width: int, height: int, channels: int,
-                   pixels) -> int:
-    """Classic 8x8 average hash over the luma plane, as a SIGNED 64-bit
-    int (Spark LongType). Cell (i, j) covers the pixel box
-    [i*h//8, (i+1)*h//8) x [j*w//8, (j+1)*w//8) (clamped to at least one
-    pixel for tiny images); bit 63 is the top-left cell. Deterministic and
-    compression-independent: only pixel values enter."""
-    def _box(i: int, size: int) -> tuple[int, int]:
-        lo = min(i * size // 8, size - 1)
-        hi = min(max((i + 1) * size // 8, lo + 1), size)
+def box_means_luma(width: int, height: int, channels: int, pixels,
+                   tw: int, th: int) -> list:
+    """Box-average downsample of the luma plane to a (tw x th) grid of
+    float means — the shared core of the average hash AND the thumbnail
+    resize. Cell (i, j) covers the pixel box [i*h//th, (i+1)*h//th) x
+    [j*w//tw, (j+1)*w//tw), clamped to at least one pixel for tiny
+    images; row-major output."""
+    def _box(i: int, size: int, cells: int) -> tuple[int, int]:
+        lo = min(i * size // cells, size - 1)
+        hi = min(max((i + 1) * size // cells, lo + 1), size)
         return lo, hi
 
-    cell_means = []
-    for i in range(8):
-        y0, y1 = _box(i, height)
-        for j in range(8):
-            x0, x1 = _box(j, width)
+    means = []
+    for i in range(th):
+        y0, y1 = _box(i, height, th)
+        for j in range(tw):
+            x0, x1 = _box(j, width, tw)
             total = n = 0
             for y in range(y0, y1):
                 row = y * width * channels
                 for x in range(x0, x1):
                     total += _luma_at(pixels, row + x * channels, channels)
                     n += 1
-            cell_means.append(total / n)
+            means.append(total / n)
+    return means
+
+
+def box_resize_luma(width: int, height: int, channels: int, pixels,
+                    tw: int, th: int) -> bytes:
+    """Real resize: (tw x th) grayscale thumbnail bytes via box-average
+    over the luma plane (rounded to nearest)."""
+    return bytes(min(255, int(m + 0.5))
+                 for m in box_means_luma(width, height, channels, pixels,
+                                         tw, th))
+
+
+def average_hash64(width: int, height: int, channels: int,
+                   pixels) -> int:
+    """Classic 8x8 average hash over the luma plane, as a SIGNED 64-bit
+    int (Spark LongType); bit 63 is the top-left cell. Deterministic and
+    compression-independent: only pixel values enter."""
+    cell_means = box_means_luma(width, height, channels, pixels, 8, 8)
     mean = sum(cell_means) / 64.0
     bits = 0
     for v in cell_means:
