@@ -292,6 +292,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("width").cast("long").alias("sum_width"),
             F.sum("height").cast("long").alias("sum_height"))
 
+    def q_audio_features(spark, sf):  # multimodal audio path (Arrow)
+        from torspider_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+        feats = multimodal.decode_audio_features(media)
+        # Text payloads are not RIFF, so every row takes the flagged
+        # deterministic fallback — which the oracle reproduces from the
+        # same sha256 digest bytes. rms is exact cents (digest[4]%100 /
+        # 100), so sum(rms*100) is integer-exact on both engines.
+        return feats.agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+            F.sum("sample_rate").cast("long").alias("sum_rate"),
+            F.sum("channels").cast("long").alias("sum_channels"),
+            F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+            F.round(F.sum(F.col("rms") * 100), 0).cast("long")
+            .alias("sum_rms_cents"),
+            F.sum("zero_crossings").cast("long").alias("sum_crossings"))
+
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
         query_vec = [float(x) for x in
@@ -501,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
         "rollup": q_rollup,
@@ -638,6 +658,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(64 + ((instr('0123456789abcdef', substr(hx,3,1))-1)*16"
             " + instr('0123456789abcdef', substr(hx,4,1))-1) % 1080) "
             "AS BIGINT) AS sum_height FROM h"
+        ),
+        "audio_features": (
+            # The fallback audio features derive from sha256 digest bytes
+            # 2,3,4,5:8 (see operators/multimodal.decode_audio_features);
+            # hex-pair -> byte arithmetic mirrors them exactly.
+            "WITH hx AS (SELECT sha256(text) AS h, "
+            "octet_length(encode(text)) AS nb FROM documents), "
+            "b AS (SELECT nb, "
+            "(instr('0123456789abcdef', substr(h,5,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,6,1))-1 AS b2, "
+            "(instr('0123456789abcdef', substr(h,7,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,8,1))-1 AS b3, "
+            "(instr('0123456789abcdef', substr(h,9,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,10,1))-1 AS b4, "
+            "(instr('0123456789abcdef', substr(h,11,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,12,1))-1 AS b5, "
+            "(instr('0123456789abcdef', substr(h,13,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,14,1))-1 AS b6, "
+            "(instr('0123456789abcdef', substr(h,15,1))-1)*16"
+            " + instr('0123456789abcdef', substr(h,16,1))-1 AS b7 "
+            "FROM hx) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_media, "
+            "CAST(0 AS BIGINT) AS n_decoded, "
+            "CAST(sum(8000 + b2 % 40000) AS BIGINT) AS sum_rate, "
+            "CAST(sum(1 + b3 % 2) AS BIGINT) AS sum_channels, "
+            "CAST(sum(nb // 16) AS BIGINT) AS sum_duration_ms, "
+            "CAST(sum(b4 % 100) AS BIGINT) AS sum_rms_cents, "
+            "CAST(sum(b5 * 65536 + b6 * 256 + b7) AS BIGINT) "
+            "AS sum_crossings FROM b"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "
