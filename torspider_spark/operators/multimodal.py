@@ -2,13 +2,17 @@
 
 Images/audio/video ride as `binary` columns with a typed metadata struct —
 the Spark-side machinery (schema, batch iteration via mapInPandas, Arrow
-batch shapes, partition sizing) is real and tested. Dimensions are parsed
-from REAL container headers for PNG/GIF/JPEG payloads (``header_dims`` —
-pure stdlib, no imaging library needed), and the perceptual hash is REAL
-for decodable PNGs (weblib.pngcodec: zlib inflate + scanline unfilter +
-8x8 average-hash — round 4). Pixel-level work for JPEG/GIF/video stays a
-deterministic fake, and the library-backed path raises NotImplementedError
-behind an import-try (no imaging/audio libraries in this container).
+batch shapes, partition sizing) is real and tested, and as of round 4 so
+are the codecs themselves wherever the stdlib suffices: dimensions from
+real container headers (``header_dims``), pixels + perceptual hash for
+PNG (weblib.pngcodec), GIF (weblib.gifcodec) and baseline JPEG
+(weblib.jpegcodec), frame sampling for animated GIF, box-average
+thumbnails (``image_thumbnails``), and WAV audio features
+(weblib.wavcodec). Only formats that genuinely need a codec library —
+progressive/arithmetic JPEG, lossy audio, true video containers — keep
+deterministic fakes (flagged where applicable), and the library-backed
+path raises NotImplementedError behind an import-try (no imaging/audio
+libraries in this container).
 
 At 100 TB the pattern matters more than the codec: payloads never pass
 through Python row-at-a-time — mapInPandas streams Arrow batches whose size
