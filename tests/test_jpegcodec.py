@@ -79,18 +79,22 @@ def _blocks_of(plane, pw, ph, ox, oy):
 
 
 def encode_jpeg(width, height, rgb, *, subsample=False, q_scale=1,
-                restart_interval=0, grayscale=False):
+                restart_interval=0, grayscale=False,
+                component_order=(1, 2, 3)):
     """Spec-correct baseline JFIF encoder (quantizer: mild default,
-    scaled by q_scale; 4:4:4 or 4:2:0; optional restart markers)."""
+    scaled by q_scale; 4:4:4 or 4:2:0; optional restart markers).
+    component_order permutes the SOF/SOS component LISTING (legal per
+    spec — decoders must key on ids, not position)."""
     ql = [max(1, (4 + k // 4) * q_scale) for k in range(64)]   # luma
     qc = [max(1, (6 + k // 3) * q_scale) for k in range(64)]   # chroma
     if grayscale:
         comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "qt": ql}]
     else:
         hv = 2 if subsample else 1
-        comps = [{"id": 1, "h": hv, "v": hv, "tq": 0, "qt": ql},
-                 {"id": 2, "h": 1, "v": 1, "tq": 1, "qt": qc},
-                 {"id": 3, "h": 1, "v": 1, "tq": 1, "qt": qc}]
+        by_id = {1: {"id": 1, "h": hv, "v": hv, "tq": 0, "qt": ql},
+                 2: {"id": 2, "h": 1, "v": 1, "tq": 1, "qt": qc},
+                 3: {"id": 3, "h": 1, "v": 1, "tq": 1, "qt": qc}}
+        comps = [by_id[i] for i in component_order]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
 
@@ -110,9 +114,9 @@ def encode_jpeg(width, height, rgb, *, subsample=False, q_scale=1,
                     r = rgb[3 * (sy * width + sx)]
                     g = rgb[3 * (sy * width + sx) + 1]
                     b = rgb[3 * (sy * width + sx) + 2]
-                    if ci == 0:
+                    if c["id"] == 1:
                         val = 0.299 * r + 0.587 * g + 0.114 * b
-                    elif ci == 1:
+                    elif c["id"] == 2:
                         val = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
                     else:
                         val = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
@@ -172,7 +176,7 @@ def encode_jpeg(width, height, rgb, *, subsample=False, q_scale=1,
         if u[0] != "BLK":
             continue
         _, ci, diff, coef = u
-        tid = 0 if ci == 0 else 1
+        tid = 0 if comps[ci]["id"] == 1 else 1
         if grayscale:
             tid = 0
         sets[("dc", tid)].add(_category(diff))
@@ -192,7 +196,7 @@ def encode_jpeg(width, height, rgb, *, subsample=False, q_scale=1,
             writer.out += bytes([0xFF, 0xD0 + (u[1] % 8)])
             continue
         _, ci, diff, coef = u
-        tid = 0 if (ci == 0 or grayscale) else 1
+        tid = 0 if (comps[ci]["id"] == 1 or grayscale) else 1
         _, _, dc_codes = tables[("dc", tid)]
         _, _, ac_codes = tables[("ac", tid)]
         s = _category(diff)
@@ -222,8 +226,8 @@ def encode_jpeg(width, height, rgb, *, subsample=False, q_scale=1,
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     out += b"\xff\xda" + (6 + 2 * len(comps)).to_bytes(2, "big")
     out += bytes([len(comps)])
-    for ci, c in enumerate(comps):
-        tid = 0 if (ci == 0 or grayscale) else 1
+    for c in comps:
+        tid = 0 if (c["id"] == 1 or grayscale) else 1
         out += bytes([c["id"], (tid << 4) | tid])
     out += b"\x00\x3f\x00"
     out += writer.out

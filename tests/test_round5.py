@@ -1,0 +1,122 @@
+"""Round-5 regressions (ADVICE r4): event-flush commit keys off the
+persisted monotone counter (not len(snapshots), which repeats after
+expiry), JPEG components mapped to Y/Cb/Cr by SOF id (not position),
+and GIF disposal method 3 (restore-to-previous) composition."""
+
+from __future__ import annotations
+
+from torspider_spark.config import CrawlConfig
+from torspider_spark.plans.crawl import CrawlJob
+from tests.test_round3 import BASE
+
+
+def test_event_flush_key_unique_after_expiry(spark, corpus_dir, tmp_path):
+    """ADVICE r4 (medium): r4 keyed each event flush by len(snapshots) of
+    the events table — exactly the pattern Warehouse._next_seq exists to
+    eliminate. Once expire_snapshots trims the events history, the length
+    repeats an already-used append KEY and commit(mode='append') silently
+    replaces that earlier flush's dirs. peek_seq (the persisted monotone
+    counter) can never repeat, so history survives expiry + resume."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(events_flush_epochs=1, **BASE)
+    work = str(tmp_path / "wh")
+    job = CrawlJob(spark, corpus, work, cfg)
+    job.run(max_epochs=3)
+    before = {(r.epoch, r.component, r.message)
+              for r in job.events_df().collect()}
+    assert before
+
+    # Trim the events snapshot history hard: len(snapshots) now collides
+    # with an earlier flush's key, peek_seq does not.
+    job.wh.expire_snapshots("events", keep_last=1)
+    assert job.wh.peek_seq("events") > len(
+        job.wh.manifest("events")["snapshots"])
+
+    resumed = CrawlJob(spark, corpus, work, cfg)
+    resumed.run(max_epochs=2)
+    after = {(r.epoch, r.component, r.message)
+             for r in CrawlJob(spark, corpus, work, cfg)
+             .events_df().collect()}
+    assert before <= after          # nothing replaced / lost
+    assert len(after) > len(before)  # resumed epochs logged too
+
+
+def test_warehouse_peek_seq_matches_next_commit(tmp_path):
+    """peek_seq must return exactly the seq the next commit consumes,
+    including on manifests whose history was trimmed."""
+    from torspider_spark.schemas import events_arrow
+    from torspider_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(None, str(tmp_path / "wh"))
+    assert wh.peek_seq("events") == 0
+    for i in range(4):
+        seq = wh.peek_seq("events")
+        snap = wh.commit_local(
+            "events", [(i, "t", "info", f"m{i}")], events_arrow(), seq,
+            mode="append")
+        assert snap["id"].endswith(f"-{seq:04d}")
+    wh.expire_snapshots("events", keep_last=1)
+    seq = wh.peek_seq("events")
+    assert seq == 4                 # monotone across expiry
+    snap = wh.commit_local(
+        "events", [(9, "t", "info", "m9")], events_arrow(), seq,
+        mode="append")
+    assert snap["id"].endswith(f"-{seq:04d}")
+
+
+def test_jpeg_component_order_by_id():
+    """ADVICE r4: a legal SOF0 may list components in any order; the
+    decoder must map them to Y/Cb/Cr by id (1/2/3), not position.
+    Identical pixels in, identical pixels out, for every listing order —
+    the entropy stream reorders with the SOS listing, so positional
+    chroma mapping would swap Cb/Cr and skew every color."""
+    from tests.test_jpegcodec import _gradient_rgb, encode_jpeg
+    from torspider_spark.weblib.jpegcodec import decode_jpeg
+
+    rgb = _gradient_rgb(24, 16)
+    baseline = decode_jpeg(encode_jpeg(24, 16, rgb))
+    assert baseline is not None
+    for order in ((3, 2, 1), (2, 3, 1), (1, 3, 2)):
+        got = decode_jpeg(
+            encode_jpeg(24, 16, rgb, component_order=order))
+        assert got is not None
+        assert got[:3] == baseline[:3]
+        assert bytes(got[3]) == bytes(baseline[3]), order
+
+    # 4:2:0 moves the 2x2-sampled luma off position 0 too
+    sub_base = decode_jpeg(encode_jpeg(24, 16, rgb, subsample=True))
+    sub_swap = decode_jpeg(
+        encode_jpeg(24, 16, rgb, subsample=True, component_order=(3, 1, 2)))
+    assert sub_swap is not None
+    assert bytes(sub_swap[3]) == bytes(sub_base[3])
+
+
+def test_gif_disposal_restore_previous():
+    """ADVICE r4: disposal 3 = restore-to-previous. The frame after a
+    disposal-3 frame must composite over the canvas AS IT WAS BEFORE the
+    disposal-3 frame drew — not over the drawn pixels ('leave')."""
+    from tests.test_gifcodec import _checker, encode_animated_gif
+    from torspider_spark.weblib.gifcodec import decode_gif_frames
+
+    pal = [(10, 10, 10), (250, 250, 250), (200, 0, 0), (0, 200, 0)]
+    base = _checker(12, 10, 2)
+    frames = [
+        dict(left=0, top=0, w=12, h=10, indices=base),
+        # full-canvas red flash, restore-to-previous afterwards
+        dict(left=0, top=0, w=12, h=10, indices=bytes([2] * 120),
+             disposal=3),
+        # small green block — everything else must be the frame-0 checker
+        dict(left=1, top=1, w=2, h=2, indices=bytes([3] * 4)),
+    ]
+    got = decode_gif_frames(encode_animated_gif(12, 10, pal, frames))
+    assert got is not None and len(got) == 3
+    w = 12
+
+    def px(frame, x, y):
+        return tuple(frame[3][3 * (y * w + x):3 * (y * w + x) + 3])
+
+    assert px(got[1], 5, 5) == pal[2]               # flash rendered
+    assert px(got[2], 1, 1) == pal[3]               # new block drawn
+    # outside the block: checker restored, NOT the red flash
+    assert px(got[2], 5, 5) == pal[base[5 * w + 5]]
+    assert px(got[2], 0, 0) == pal[base[0]]

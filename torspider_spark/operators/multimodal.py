@@ -180,8 +180,10 @@ def decode_image_features(media: DataFrame,
         raise NotImplementedError(
             "library-backed decode for ALL formats needs an imaging "
             "library (e.g. Pillow), not present in this environment; the "
-            "default path already decodes PNG for real (weblib.pngcodec) "
-            "and uses a deterministic fake only for JPEG/GIF pixels")
+            "default path already decodes PNG, GIF and baseline JPEG for "
+            "real (weblib.pngcodec/gifcodec/jpegcodec) and falls back to "
+            "a deterministic fake only for progressive/arithmetic JPEG "
+            "and true video containers")
 
     def batches(iterator):
         for pdf in iterator:

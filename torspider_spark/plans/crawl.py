@@ -669,7 +669,11 @@ class CrawlJob:
             return
         rows = self._events
         self._events = []
-        seq = len((self.wh.manifest("events") or {}).get("snapshots", []))
+        # ADVICE r4: key off the PERSISTED monotone counter, not
+        # len(snapshots) — the length repeats once expire_snapshots or
+        # rollback trims history, and a repeated append key silently
+        # replaces the earlier flush's files.
+        seq = self.wh.peek_seq("events")
         from torspider_spark.schemas import events_arrow
 
         self.wh.commit_local("events", rows, events_arrow(), seq,
@@ -714,7 +718,18 @@ class CrawlJob:
         (journal commit in MOR / frontier commit in COW) precedes the
         metrics commit, so a crash in that window completes the epoch but
         loses its metrics row. Every barrier commit's meta carries the full
-        counter set, so the row is reconstructible driver-side."""
+        counter set, so the row is reconstructible driver-side.
+
+        Interaction with snapshot expiry (ADVICE r4): expire_snapshots on
+        the barrier tables trims the very snapshot history this walk reads,
+        so a crash-lost metrics row older than the retained window becomes
+        unhealable. Round-4+ code commits metrics BEFORE the barrier, so
+        only warehouses written by pre-round-4 code can carry such holes;
+        for those, resume() ordering protects them: run() calls this
+        method before the first epoch — hence before any expiry this
+        process performs (expiry only rides compact_frontier) — so a
+        legacy warehouse is healed on first resume with new code, before
+        its history can be trimmed."""
         mm = self.wh.manifest("metrics")
         have = set((mm or {}).get("epoch_dirs", {}).keys())
         barrier = "frontier_journal" if self.cfg.frontier_mor else "frontier"

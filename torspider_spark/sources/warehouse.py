@@ -133,6 +133,20 @@ class Warehouse:
         m["next_seq"] = seq + 1
         return seq
 
+    def peek_seq(self, name: str) -> int:
+        """The sequence number the NEXT commit to ``name`` will receive,
+        without consuming it. Callers that need a never-reused epoch KEY
+        for an append commit (e.g. event-log flushes) use this instead of
+        len(snapshots): the length repeats once expire_snapshots or
+        rollback trims history, and a repeated append key makes
+        commit(mode='append') silently replace the earlier flush's dirs.
+        Driver-side commits are serialized, so the peeked value is exactly
+        what _next_seq assigns inside the immediately following commit."""
+        m = self.manifest(name)
+        if m is None:
+            return 0
+        return int(m.get("next_seq", len(m["snapshots"])))
+
     def _commit_files(self, name: str, write_fn, epoch: int, mode: str,
                       meta: dict | None) -> dict:
         tdir = self._table_dir(name)

@@ -158,8 +158,10 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
     (canvas_w, canvas_h, 3, rgb) snapshots, one per rendered frame —
     each frame drawn at its (left, top) offset over the previous canvas
     state, honoring the Graphic Control Extension's transparency index
-    and disposal methods 0/1 (leave) and 2 (restore region to
-    background). This is the engine's REAL 'video' frame-sampling path
+    and all four disposal methods: 0/1 (leave), 2 (restore region to
+    background) and 3 (restore-to-previous — canvas snapshotted before
+    the draw and restored after the frame is emitted). This is the
+    engine's REAL 'video' frame-sampling path
     (operators/multimodal.sample_video_frames): animated GIF is the one
     video-ish container decodable pure-stdlib. Returns None for
     non-GIF/corrupt payloads."""
@@ -205,6 +207,12 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
                 return None
             mcs = payload[pos]
             stream, pos = _sub_blocks(payload, pos + 1)
+            # Disposal 3 = restore-to-previous: snapshot the canvas before
+            # this frame draws, so the NEXT frame composites over the
+            # pre-draw state (ADVICE r4 — treating it as 'leave' gave
+            # silently-wrong pixels). Drawing only touches the frame
+            # rect, so restoring the whole canvas restores the region.
+            prev = bytes(canvas) if disposal == 3 else None
             indices = _lzw_decode(mcs, stream, w * h)
             if len(indices) < w * h:
                 return None
@@ -225,6 +233,8 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
                     canvas[3 * (cy * cw + cx):3 * (cy * cw + cx) + 3] = \
                         bytes(table[idx])
             frames.append((cw, ch, 3, bytearray(canvas)))
+            if disposal == 3 and prev is not None:
+                canvas = bytearray(prev)    # restore-to-previous
             if disposal == 2:       # restore frame region to background
                 for y in range(h):
                     cy = top + y

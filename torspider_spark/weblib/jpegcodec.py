@@ -290,8 +290,16 @@ def _to_rgb(w, h, comps, planes, hmax, vmax):
     if len(comps) != 3:
         return None
     rgb = bytearray(w * h * 3)
-    cy, cb, cr = comps
-    py, pb, pr = planes
+    # Map components to Y/Cb/Cr by their SOF id (1=Y, 2=Cb, 3=Cr per
+    # JFIF) rather than by position — a legal stream may list them in any
+    # order, and a positional assumption would swap chroma (ADVICE r4).
+    # Nonstandard ids fall back to positional order.
+    order = list(range(3))
+    ids = [c["id"] for c in comps]
+    if sorted(ids) == [1, 2, 3]:
+        order = [ids.index(1), ids.index(2), ids.index(3)]
+    cy, cb, cr = (comps[i] for i in order)
+    py, pb, pr = (planes[i] for i in order)
     for y in range(h):
         for x in range(w):
             Y = py[y * cy["cw"] + x] if cy["h"] == hmax and cy["v"] == vmax \
