@@ -11,9 +11,17 @@ Scope: static + animated GIF87a/89a (first frame only), global/local
 color tables, interlaced and non-interlaced. Frames smaller than the
 logical screen hash as the frame itself — position offsets don't affect
 near-duplicate detection semantics.
+
+Pixel assembly is numpy-vectorized (VERDICT r4): palette gather,
+transparency-masked frame composition and background restore run as
+whole-rect array ops. The LZW code loop stays scalar — each code's
+dictionary entry depends on the previous one, so it is sequential by
+construction.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 MAX_CODE_WIDTH = 12  # per the GIF spec; codes never exceed 12 bits
 
@@ -133,11 +141,11 @@ def decode_gif(payload: bytes):
                 return None
             if iflags & 0x40:
                 indices = _deinterlace(indices[:w * h], w, h)
-            rgb = bytearray(w * h * 3)
-            n = len(table)
-            for i in range(w * h):
-                rgb[3 * i:3 * i + 3] = table[indices[i] % n]
-            return w, h, 3, rgb
+            # Vectorized palette gather (VERDICT r4: no per-pixel Python)
+            pal = np.asarray(table, dtype=np.uint8)
+            idx = np.frombuffer(bytes(indices[:w * h]),
+                                dtype=np.uint8) % len(table)
+            return w, h, 3, bytearray(pal[idx].tobytes())
         return None
     except Exception:
         return None
@@ -176,7 +184,9 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
         bg = gct[bg_idx] if gct and bg_idx < len(gct) else (0, 0, 0)
         if not cw or not ch:
             return None
-        canvas = bytearray(bytes(bg) * (cw * ch))
+        bg_px = np.asarray(bg, dtype=np.uint8)
+        canvas = np.empty((ch, cw, 3), dtype=np.uint8)
+        canvas[...] = bg_px
         frames = []
         transparent = None
         disposal = 0
@@ -212,40 +222,33 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
             # pre-draw state (ADVICE r4 — treating it as 'leave' gave
             # silently-wrong pixels). Drawing only touches the frame
             # rect, so restoring the whole canvas restores the region.
-            prev = bytes(canvas) if disposal == 3 else None
+            prev = canvas.copy() if disposal == 3 else None
             indices = _lzw_decode(mcs, stream, w * h)
             if len(indices) < w * h:
                 return None
             if iflags & 0x40:
                 indices = _deinterlace(indices[:w * h], w, h)
-            n = len(table)
-            for y in range(h):
-                cy = top + y
-                if cy >= ch:
-                    break
-                for x in range(w):
-                    cx = left + x
-                    if cx >= cw:
-                        continue
-                    idx = indices[y * w + x] % n
-                    if transparent is not None and idx == transparent:
-                        continue
-                    canvas[3 * (cy * cw + cx):3 * (cy * cw + cx) + 3] = \
-                        bytes(table[idx])
-            frames.append((cw, ch, 3, bytearray(canvas)))
+            # Vectorized composite (VERDICT r4: no per-pixel Python):
+            # palette gather over the visible sub-rect, masked by the
+            # transparency index (compared AFTER the mod, matching the
+            # scalar semantics for out-of-palette indices).
+            h_vis, w_vis = min(h, ch - top), min(w, cw - left)
+            if h_vis > 0 and w_vis > 0:
+                pal = np.asarray(table, dtype=np.uint8)
+                idx = (np.frombuffer(bytes(indices[:w * h]), dtype=np.uint8)
+                       .reshape(h, w)[:h_vis, :w_vis] % len(table))
+                region = canvas[top:top + h_vis, left:left + w_vis]
+                if transparent is None:
+                    region[...] = pal[idx]
+                else:
+                    mask = idx != transparent
+                    region[mask] = pal[idx[mask]]
+            frames.append((cw, ch, 3, bytearray(canvas.tobytes())))
             if disposal == 3 and prev is not None:
-                canvas = bytearray(prev)    # restore-to-previous
-            if disposal == 2:       # restore frame region to background
-                for y in range(h):
-                    cy = top + y
-                    if cy >= ch:
-                        break
-                    for x in range(w):
-                        cx = left + x
-                        if cx >= cw:
-                            continue
-                        canvas[3 * (cy * cw + cx):
-                               3 * (cy * cw + cx) + 3] = bytes(bg)
+                canvas = prev               # restore-to-previous
+            elif disposal == 2 and h_vis > 0 and w_vis > 0:
+                # restore frame region to background
+                canvas[top:top + h_vis, left:left + w_vis] = bg_px
             transparent = None
             disposal = 0
         return frames or None
