@@ -2,8 +2,9 @@
 
 `entry(spark)` runs the flagship crawl query; `queries()` exposes one entry
 per implemented operator family from SURVEY.md §2 plus the training-data
-ops; `oracle_sql()` gives DuckDB SQL for EVERY query (same column
-names/aliases both sides). Crawl-engine queries run over a deterministic
+ops; `oracle_sql()` gives DuckDB SQL for every query except the two
+explicitly-approximate ANN probes (lsh_topk / ivf_topk — rows-only checks,
+recall asserted in pytest), same column names/aliases both sides. Crawl-engine queries run over a deterministic
 synthetic corpus generated on first use (seed-fixed; FIXTURES.md); their
 oracles are DuckDB over simulator-generated expected parquet
 (plans/expected.py — an independent single-threaded implementation plus a
@@ -278,6 +279,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count_distinct("content_md5").alias("distinct_fingerprints"),
             F.count("*").alias("n_docs"))
 
+    def q_language_id(spark, sf):  # training-data: stopword-profile lang ID
+        detected = quality.language_id(_t(spark, sf, "documents"))
+        return (detected.groupBy("detected_lang")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy("detected_lang"))
+
+    def q_ngram_jaccard(spark, sf):  # training-data: exact n-gram jaccard
+        pairs = textdedup.ngram_jaccard_pairs(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            threshold=0.2)
+        return (pairs.select("a", "b",
+                             F.round("jaccard", 4).alias("jaccard"))
+                .orderBy("a", "b"))
+
+    def q_near_dup_cosine(spark, sf):  # training-data: embedding near-dups
+        # threshold/planes tuned to the synthetic embeddings' cosine range
+        # (max pairwise ~0.51) so the oracle comparison is non-vacuous.
+        pairs = similarity.near_duplicates_by_cosine(
+            _t(spark, sf, "embeddings"), threshold=0.3, n_planes=6)
+        return (pairs.select("a", "b",
+                             F.round("cos_sim", 4).alias("cos_sim"))
+                .orderBy("a", "b"))
+
+    def q_lsh_topk(spark, sf):  # training-data: LSH-probed ANN (approximate
+        # op — no SQL oracle; the driver's rows-only check applies, and
+        # tests/test_dataops.py asserts recall against brute force)
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        return (similarity.lsh_topk(emb, qv, k=10)
+                .select("vec_id", F.round("cos_sim", 4).alias("cos_sim")))
+
+    def q_ivf_topk(spark, sf):  # training-data: IVF-probed ANN (approximate
+        # op — rows-only check, recall asserted in tests)
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        return (similarity.ivf_topk(emb, qv, k=10)
+                .select("vec_id", F.round("cos_sim", 4).alias("cos_sim")))
+
     def q_media_features(spark, sf):  # multimodal Arrow-batch decode path
         from torspider_spark.operators import multimodal
 
@@ -502,6 +541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = textdedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         return pairs.agg(F.count("*").alias("n_candidate_pairs"))
 
+    def q_crawl_simhash_dedup(spark, sf):  # simhash near-dups, crawl text
+        pages = spark.read.parquet(
+            os.path.join(_corpus_dir(), "pages.parquet"))
+        pairs = textdedup.simhash_near_duplicates(
+            pages.select(F.xxhash64("url").alias("doc_id"), "text"),
+            max_hamming=16)
+        return (pairs.select("a", "b",
+                             F.col("hamming").cast("int").alias("hamming"))
+                .orderBy("a", "b"))
+
     return {
         "count_tables": q_count_tables,
         "filter_ne": q_filter_ne,
@@ -518,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_cosine": q_near_dup_cosine,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
@@ -542,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_forms_table": q_crawl_forms_table,
         "crawl_links_table": q_crawl_links_table,
         "crawl_minhash_dedup": q_crawl_minhash_dedup,
+        "crawl_simhash_dedup": q_crawl_simhash_dedup,
         "crawl_hostrank": q_crawl_hostrank,
     }
 
@@ -549,6 +604,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — same aliases as the Spark queries
 # ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    """DuckDB mirror of operators/quality.language_id: per-language
+    stopword hit counts, winner = alphabetically-first among the maxima
+    (exactly the Spark fold's >=-with-reverse-iteration tie-break),
+    'und' when nothing hits. Generated from the same STOPWORDS dict so
+    the profiles can never drift apart."""
+    from torspider_spark.operators.quality import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        "t -> list_contains(["
+        + ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+        + f"], t))) AS h_{lang}"
+        for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{o}" for o in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = ("CASE WHEN greatest("
+            + ", ".join(f"h_{lang}" for lang in langs)
+            + ") = 0 THEN 'und' "
+            + " ".join(branches)
+            + f" ELSE '{langs[-1]}' END")
+    return (f"WITH h AS (SELECT {hits} FROM documents) "
+            f"SELECT {case} AS detected_lang, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM h GROUP BY 1 ORDER BY detected_lang")
+
+
+def _near_dup_cosine_oracle(dim: int = 64, n_planes: int = 6,
+                            seed: int = 42,
+                            threshold: float = 0.3) -> str:
+    """DuckDB mirror of operators/similarity.near_duplicates_by_cosine:
+    the SAME seeded hyperplanes (random_hyperplanes is a pure function)
+    are inlined as double literals, bucket ids recompute as sign-bit
+    sums, and exact cosine runs inside buckets only — so the oracle
+    verifies the LSH bucketing AND the cosine math, not just the final
+    filter. repr() round-trips each float exactly."""
+    from torspider_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
+        "p AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) "
+        "* sqrt(list_dot_product(y.v, y.v))) AS cos "
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) "
+        f"SELECT a, b, round(cos, 4) AS cos_sim FROM p "
+        f"WHERE cos >= {threshold} ORDER BY a, b")
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -635,6 +749,35 @@ def oracle_sql() -> dict[str, str]:
             "regexp_split_to_array(trim(lower(text)), '\\s+'), ' ') AS normalized "
             "FROM documents)"
         ),
+        "language_id": _langid_oracle(),
+        "ngram_jaccard": (
+            # Mirrors textdedup.word_shingles exactly: whitespace split of
+            # the TRIMMED (not lowercased) text, greatest(n-2, 1) shingle
+            # starts, end-clamped 3-slices, distinct per doc.
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 2, 1)), "
+            "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
+            "))) AS sh FROM w), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh "
+            "GROUP BY doc_id), "
+            "co AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "count(*) AS common FROM sh x JOIN sh y "
+            "ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT a, b, "
+            "common / (sa.n_sh + sb.n_sh - common) AS jac "
+            "FROM co JOIN sizes sa ON sa.doc_id = co.a "
+            "JOIN sizes sb ON sb.doc_id = co.b) "
+            "SELECT a, b, round(jac, 4) AS jaccard FROM j "
+            "WHERE jac >= 0.2 ORDER BY a, b"
+        ),
+        "near_dup_cosine": _near_dup_cosine_oracle(),
+        # lsh_topk / ivf_topk: intentionally NO oracle entries — both are
+        # approximate ops whose probe sets hinge on float sign/margin
+        # order; the driver records rows-only checks and the pytest suite
+        # asserts recall against brute_force_topk.
         "ann_cosine": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings "
             "ORDER BY vec_id LIMIT 1) "
@@ -831,6 +974,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_minhash_dedup": (
             f"SELECT n_candidate_pairs "
             f"FROM read_parquet('{_expected_dir()}/minhash_sim.parquet')"
+        ),
+        "crawl_simhash_dedup": (
+            f"SELECT a, b, hamming "
+            f"FROM read_parquet('{_expected_dir()}/simhash_sim.parquet') "
+            f"ORDER BY a, b"
         ),
         "crawl_hostrank": (
             f"SELECT host, round(rank, 4) AS rank "

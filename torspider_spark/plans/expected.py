@@ -102,6 +102,48 @@ def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
     return len(pairs)
 
 
+def _simhash_pairs_reference(corpus_dir: str,
+                             max_hamming: int = 16) -> list[tuple]:
+    """Pure-Python reference of operators/textdedup.simhash64 +
+    simhash_near_duplicates over the corpus pages (doc_id =
+    xxhash64(url)): whitespace tokens vote +/-1 per bit of their
+    xxhash64, candidate pairs share one of the four 16-bit chunks, exact
+    Hamming filter last. Signed 64-bit semantics mirror Spark's LongType
+    (bit 63 via arithmetic shifts; chunk extraction masks low bits)."""
+    pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
+                          columns=["url", "text"]).to_pylist()
+    mask64 = (1 << 64) - 1
+    sims: dict[int, int] = {}
+    for row in pages:
+        doc_id = spark_xxhash64(row["url"])
+        toks = re.split(r"\s+", (row["text"] or "").strip())
+        votes = [0] * 64
+        for tok in toks:
+            h = spark_xxhash64(tok)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sh = sum(1 << i for i in range(64) if votes[i] > 0)
+        if sh >= 1 << 63:
+            sh -= 1 << 64               # Spark LongType wrap
+        sims[doc_id] = sh
+    buckets: dict[tuple[int, int], set[int]] = defaultdict(set)
+    for doc_id, sh in sims.items():
+        for c in range(4):
+            buckets[(c, (sh >> (c * 16)) & 0xFFFF)].add(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ordered = sorted(members)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                pairs.add((a, b))
+    out = []
+    for a, b in sorted(pairs):
+        ham = bin((sims[a] ^ sims[b]) & mask64).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
 def _host_rank_reference(links: list[tuple[str, int, str]],
                          iterations: int = 5,
                          damping: float = 0.85) -> dict[str, float]:
@@ -162,7 +204,7 @@ def write_expected(corpus_dir: str, out_dir: str,
     cfg = cfg or CrawlConfig(bloom_min_frontier=0)
     # marker is versioned: bump when the expected-table set changes so
     # stale caches from earlier builds regenerate.
-    marker = os.path.join(out_dir, f"_done_e{epochs}_v3")
+    marker = os.path.join(out_dir, f"_done_e{epochs}_v4")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -249,6 +291,12 @@ def write_expected(corpus_dir: str, out_dir: str,
     _write(out_dir, "minhash_sim.parquet", {
         "n_candidate_pairs": pa.array([_minhash_pair_count(corpus_dir)],
                                       pa.int64()),
+    })
+    sim_pairs = _simhash_pairs_reference(corpus_dir)
+    _write(out_dir, "simhash_sim.parquet", {
+        "a": pa.array([p[0] for p in sim_pairs], pa.int64()),
+        "b": pa.array([p[1] for p in sim_pairs], pa.int64()),
+        "hamming": pa.array([p[2] for p in sim_pairs], pa.int32()),
     })
     with open(marker, "w") as fh:
         fh.write("ok")
