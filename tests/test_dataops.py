@@ -63,6 +63,29 @@ def test_ngram_jaccard_exact_value(docs):
     assert abs(pairs[(1, 3)] - 6 / 8) < 1e-9
 
 
+def test_ngram_jaccard_stop_shingle_cutoff(docs):
+    """max_shingle_df drops boilerplate shingles from the UNIVERSE: the 6
+    shingles shared by docs 1/2/3 have df=3, so a cutoff of 2 removes
+    them from intersections AND set sizes. Docs 1 and 2 keep jaccard 1.0
+    over their surviving (identical) shingle; the 1-3 pair loses every
+    common shingle and disappears entirely."""
+    pairs = {(r.a, r.b): r.jaccard
+             for r in textdedup.ngram_jaccard_pairs(
+                 docs, shingle_n=3, threshold=0.1,
+                 max_shingle_df=2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs
+    # cutoff high enough to keep everything == exact semantics
+    exact = {(r.a, r.b): r.jaccard
+             for r in textdedup.ngram_jaccard_pairs(
+                 docs, shingle_n=3, threshold=0.1).collect()}
+    wide = {(r.a, r.b): r.jaccard
+            for r in textdedup.ngram_jaccard_pairs(
+                docs, shingle_n=3, threshold=0.1,
+                max_shingle_df=10_000).collect()}
+    assert wide == exact
+
+
 def test_brute_force_topk(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0)

@@ -239,19 +239,39 @@ def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing any shingle.
 
     |A ∩ B| via co-occurrence counts on exploded distinct shingles; set
     sizes joined back broadcast-style. Quadratic only within shingle
     buckets — suitable standalone at moderate scale or as the verifier
     behind LSH candidates at full scale.
+
+    ``max_shingle_df`` is the 100-TB skew guard: a boilerplate shingle
+    (header/footer text) shared by millions of documents makes the
+    co-occurrence self-join emit O(df^2) rows for that one key — a
+    straggler no salt can fully amortize because every pair is a real
+    output candidate. Setting a document-frequency cutoff drops such
+    stop-shingles from the UNIVERSE (both the intersection counts and the
+    per-doc set sizes, so jaccard stays a true set similarity over the
+    filtered shingle space — the standard stop-shingle construction).
+    None (default) preserves exact full-universe semantics, which is what
+    the `ngram_jaccard` driver oracle checks.
     """
     shingled = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
         .alias("sh"),
     )
+    if max_shingle_df is not None:
+        # One count-agg shuffle on the shingle key; the surviving rows
+        # re-shuffle on the same key for the self-join, so AQE can reuse
+        # the exchange. Rows are (doc_id, sh) only — no payload columns.
+        df_counts = shingled.groupBy("sh").agg(F.count("*").alias("_df"))
+        shingled = (shingled.join(
+            df_counts.filter(F.col("_df") <= max_shingle_df), "sh")
+            .drop("_df"))
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     co = (
         shingled.alias("x")
