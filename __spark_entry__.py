@@ -282,6 +282,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 4).alias("total_value"))
                 .orderBy("hour", "event_type"))
 
+    def q_streaming_windowed_agg(spark, sf):  # 2.H — STREAM == batch
+        """The watermarked event-time window rollup
+        (streaming/crawl_stream.py:95-135) run to completion as a real
+        Structured Streaming query (availableNow, file source, memory
+        sink) over the events fixture — VERDICT r4 ask #5. Append mode
+        only emits a window once the watermark passes its end, so two
+        far-future SENTINEL rows are appended as separate files
+        (maxFilesPerTrigger=1 → separate micro-batches): the first
+        advances the watermark past every real window, the second
+        triggers the emission batch. All real rows arrive in batch 1
+        (watermark still at epoch — nothing dropped), so the emitted
+        windows equal the batch aggregation exactly; the oracle is the
+        SAME SQL as windowed_time_agg. Sentinel windows stay unemitted
+        (their ends exceed the final watermark) and are filtered anyway.
+        """
+        import shutil
+        import tempfile
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        work = tempfile.mkdtemp(prefix="stream_agg_")
+        src = os.path.join(work, "events")
+        os.makedirs(src)
+        tbl = pq.read_table(os.path.join(sf, "events.parquet"))
+        pq.write_table(tbl, os.path.join(src, "part-000.parquet"))
+        for i, ts in enumerate(("2025-06-01T00:00:00",
+                                "2025-06-02T00:00:00"), start=1):
+            sent = pa.table({
+                "event_id": pa.array([-i], type=pa.int64()),
+                "ts": pa.array([pd.Timestamp(ts)],
+                               type=tbl.schema.field("ts").type),
+                "user_id": pa.array([-1], type=pa.int64()),
+                "event_type": pa.array(["__sentinel__"]),
+                "value": pa.array([0.0], type=pa.float64()),
+                "props": pa.array([None], type=pa.string()),
+            }).select([f.name for f in tbl.schema])
+            pq.write_table(sent, os.path.join(src, f"part-00{i}.parquet"))
+        # File source processes oldest-mtime first: pin the order.
+        base = os.path.getmtime(os.path.join(src, "part-000.parquet"))
+        for i in range(3):
+            p = os.path.join(src, f"part-00{i}.parquet")
+            os.utime(p, times=(base + 10 * i, base + 10 * i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("hour"), "event_type",
+                    "n", "total_value"))
+        qname = "stream_windowed_" + os.path.basename(work)[-8:]
+        query = (stream.writeStream.outputMode("append")
+                 .format("memory").queryName(qname)
+                 .option("checkpointLocation", os.path.join(work, "ckpt"))
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        out = (spark.table(qname)
+               .filter(F.col("hour") < F.lit("2025-01-01"))
+               .orderBy("hour", "event_type"))
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
     def q_distinct(spark, sf):  # D1 — distinct
         return (_t(spark, sf, "lineitem")
                 .select("l_returnflag", "l_linestatus").distinct()
@@ -688,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_case": q_taxonomy_case,
         "agg_rollup": q_agg_rollup,
         "windowed_time_agg": q_windowed_time_agg,
+        "streaming_windowed_agg": q_streaming_windowed_agg,
         "distinct_pairs": q_distinct,
         "join_agg": q_join_agg,
         "dedup_exact": q_dedup_exact,
@@ -835,6 +904,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1 ORDER BY month"
         ),
         "windowed_time_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        # streaming_windowed_agg: the STREAM must equal the BATCH — the
+        # oracle is deliberately the identical SQL as windowed_time_agg
+        # (window.start for 1-hour epoch-aligned windows == date_trunc).
+        # Any watermark/emission bug (dropped rows, unemitted or
+        # double-emitted windows) breaks rows or value-hash.
+        "streaming_windowed_agg": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n, round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
