@@ -120,3 +120,120 @@ def test_gif_disposal_restore_previous():
     # outside the block: checker restored, NOT the red flash
     assert px(got[2], 5, 5) == pal[base[5 * w + 5]]
     assert px(got[2], 0, 0) == pal[base[0]]
+
+
+# -- kill-during-compaction resume (VERDICT r4 #6) ---------------------------
+#
+# compact_frontier makes THREE durable changes in sequence: (1) one
+# commit_bucketed publishing the folded buckets, (2) one journal
+# truncation commit, (3) snapshot expiry. Rollback/resume was already
+# covered at epoch barriers and mid-epoch; these tests kill INSIDE the
+# compaction, in both torn windows, and require the resumed run to land
+# on exactly the uninterrupted run's state. COW mode has no counterpart
+# window by construction: compact_frontier is only ever invoked under
+# cfg.frontier_mor (there is no journal to fold), so MOR is the entire
+# surface.
+
+class _CompactBoom(RuntimeError):
+    pass
+
+
+def _state(job):
+    frontier = {(r.url, r.state, r.tries)
+                for r in job.frontier_df().collect()}
+    results = {(r.url, r.epoch, r.fault, r.hash)
+               for r in job.results().collect()}
+    return frontier, results
+
+
+_N = 6
+_CFG = dict(mor_compact_every=2, **BASE)
+
+
+def _ref_state(spark, corpus, tmp_path):
+    job = CrawlJob(spark, corpus, str(tmp_path / "ref"), CrawlConfig(**_CFG))
+    job.run(max_epochs=_N)
+    return _state(job)
+
+
+def test_crash_between_fold_and_truncate_resumes_clean(
+        spark, corpus_dir, tmp_path, monkeypatch):
+    """Window (1)->(2): the bucket rewrite commit LANDED, the journal
+    truncation did not. The journal's rows are now also in the base; the
+    reconcile anti-join must keep the view single-valued, resume must not
+    re-run the epoch (the journal append — the epoch barrier — already
+    committed), and the next compaction re-folds the same rows as a
+    value-level no-op and truncates."""
+    from torspider_spark.sources.warehouse import Warehouse
+
+    corpus, _ = corpus_dir
+    want = _ref_state(spark, corpus, tmp_path)
+
+    real_commit = Warehouse.commit
+    fired = []
+
+    def crashing(self, name, df, epoch, mode="overwrite", meta=None):
+        if (name == "frontier_journal" and meta and meta.get("truncated")
+                and not fired):
+            fired.append(epoch)
+            raise _CompactBoom("kill between bucket rewrite and truncation")
+        return real_commit(self, name, df, epoch, mode=mode, meta=meta)
+
+    monkeypatch.setattr(Warehouse, "commit", crashing)
+    work = str(tmp_path / "crash1")
+    job = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
+    try:
+        job.run(max_epochs=_N)
+    except _CompactBoom:
+        pass
+    assert fired == [2], "compaction truncation must fire (and die) at e2"
+    # The torn state really is torn: folded base AND a populated journal.
+    assert job.wh.current_epoch("frontier_journal") == 2
+
+    monkeypatch.setattr(Warehouse, "commit", real_commit)
+    resumed = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
+    assert resumed.resume_epoch() == 3  # e2's barrier (journal append) held
+    resumed.run(max_epochs=_N - 2)
+    assert _state(resumed) == want
+
+
+def test_crash_inside_fold_publish_resumes_clean(
+        spark, corpus_dir, tmp_path, monkeypatch):
+    """Window inside (1): data dirs for the folded buckets are written but
+    the manifest swap never happens — the table must stay at the previous
+    snapshot (journal intact, nothing folded), and the resumed run's later
+    compaction folds everything with no duplicates or losses."""
+    from torspider_spark.sources.warehouse import Warehouse
+
+    corpus, _ = corpus_dir
+    want = _ref_state(spark, corpus, tmp_path)
+
+    real_publish = Warehouse._publish
+    fired = []
+
+    def crashing(self, name, manifest):
+        last = manifest.get("snapshots", [])[-1] if manifest.get(
+            "snapshots") else {}
+        if (name == "frontier" and last.get("meta", {}).get("compaction")
+                and not fired):
+            fired.append(last.get("epoch"))
+            raise _CompactBoom("kill mid-publish of the fold commit")
+        return real_publish(self, name, manifest)
+
+    monkeypatch.setattr(Warehouse, "_publish", crashing)
+    work = str(tmp_path / "crash2")
+    job = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
+    try:
+        job.run(max_epochs=_N)
+    except _CompactBoom:
+        pass
+    assert fired == [2]
+    # Torn write: orphan data dirs may exist, but the MANIFEST still holds
+    # the pre-compaction journal (nothing truncated, nothing folded).
+    assert job.wh.current_epoch("frontier_journal") == 2
+
+    monkeypatch.setattr(Warehouse, "_publish", real_publish)
+    resumed = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
+    assert resumed.resume_epoch() == 3
+    resumed.run(max_epochs=_N - 2)
+    assert _state(resumed) == want
