@@ -40,6 +40,56 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _media_slice(spark, kind: str, n: int):
+    """n rows of REAL decodable media (weblib.mediagen payloads built
+    executor-side from the row id alone — the on-cluster shape is an
+    opaque parquet binary column; generation cost is tiny next to
+    decode)."""
+    import pandas as pd
+
+    from torspider_spark.operators import multimodal
+
+    def gen(it):
+        from torspider_spark.weblib import mediagen as mg
+        fn = {"image": mg.image_payload, "audio": mg.audio_payload,
+              "video": mg.video_payload}[kind]
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["id"].astype("int64"),
+                "kind": kind,
+                "payload": pd.Series([fn(int(i)) for i in pdf["id"]],
+                                     dtype="object", index=pdf.index),
+                "mime": "application/octet-stream",
+                "source_url": None})
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (spark.range(n).repartition(cpus)
+            .mapInPandas(gen, schema=multimodal.MEDIA))
+
+
+def bench_media(spark) -> dict[str, float]:
+    """Codec-path timings (VERDICT r4 ask #4): the oracle queries decode
+    a handful of payloads; these lines decode a slice big enough that a
+    kernel regression (e.g. losing the numpy vectorization) moves the
+    number. Keys mirror the operator names the driver tracks."""
+    from torspider_spark.operators import multimodal
+
+    times: dict[str, float] = {}
+    t0 = time.time()
+    _run_noop(multimodal.decode_image_features(
+        _media_slice(spark, "image", 4096)))
+    times["media_features"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _run_noop(multimodal.sample_video_frames(
+        _media_slice(spark, "video", 1024), every_n=1, max_frames=3))
+    times["frame_samples"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _run_noop(multimodal.decode_audio_features(
+        _media_slice(spark, "audio", 4096)))
+    times["audio_features"] = round(time.time() - t0, 3)
+    return times
+
+
 def bench_crawl(spark, sf: float) -> dict:
     """North metric: run the crawl engine on a seeded synthetic corpus."""
     from torspider_spark.config import CrawlConfig
@@ -85,6 +135,7 @@ def main() -> None:
     spark.range(1000).agg({"id": "sum"}).collect()
 
     queries = bench_queries(spark, sf_dir)
+    queries.update(bench_media(spark))
     crawl = bench_crawl(spark, sf)
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
     # Scaling evidence rides as a compact summary only — the full
