@@ -144,8 +144,8 @@ def _fake_phash(payload: bytes) -> int:
 
 def _phash64(payload: bytes) -> int:
     """Perceptual hash: REAL 8x8 average-hash for decodable PNGs
-    (weblib.pngcodec — pure-stdlib zlib inflate + scanline unfilter) and
-    GIFs (weblib.gifcodec — pure-stdlib LZW + palette + interlace, first
+    (weblib.pngcodec — zlib inflate + numpy-vectorized unfilter) and
+    GIFs (weblib.gifcodec — LZW + palette + interlace, first
     frame), so same-pixels payloads hash identically across encoders and
     near-identical images land within a small Hamming distance.
     Baseline JPEG decodes too (weblib.jpegcodec — huffman + dequant +
@@ -275,7 +275,7 @@ def image_thumbnails(media: DataFrame, thumb_w: int = 16,
                      thumb_h: int = 16) -> DataFrame:
     """REAL resize (round 4): (thumb_w x thumb_h) grayscale thumbnails
     via box-average over the decoded luma plane, for every payload the
-    pure-stdlib codecs can decode (PNG / GIF / baseline JPEG); NULL
+    built-in codecs can decode (PNG / GIF / baseline JPEG); NULL
     thumb otherwise — downstream training pipelines filter on it. Same
     Arrow-batch shape as the feature pass: payloads projected away in
     this one mapInPandas, only (B + 16) bytes per row survive."""
@@ -303,7 +303,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 10,
                         max_frames: int = 8) -> DataFrame:
     """Frame sampling: emits (media_id, frame_idx, frame_phash64) rows —
     a 1:N mapInPandas expansion. REAL for animated GIF (round 4: the one
-    video-ish container decodable pure-stdlib — weblib.gifcodec
+    video-ish container decodable without codec libraries — weblib.gifcodec
     composes each frame onto the canvas honoring offsets, transparency
     and disposal, and every ``every_n``-th composed frame is
     average-hashed); other containers (mp4/webm — env-blocked, no codec

@@ -171,7 +171,7 @@ def decode_gif_frames(payload: bytes, max_frames: int = 64):
     the draw and restored after the frame is emitted). This is the
     engine's REAL 'video' frame-sampling path
     (operators/multimodal.sample_video_frames): animated GIF is the one
-    video-ish container decodable pure-stdlib. Returns None for
+    video-ish container decodable without codec libraries. Returns None for
     non-GIF/corrupt payloads."""
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
