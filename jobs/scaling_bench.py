@@ -306,6 +306,11 @@ def main() -> None:
                     "the post-run frontier count (must be 0 under "
                     "allow-all rules)",
             "four_n": rb,
+            # The revived count scales with how much robots_blocked state
+            # accumulated before the flip — record the warm-up depth so
+            # rounds are comparable (r4 used 3 warm-ups -> 931 revived;
+            # a 2-warm-up run only accumulates ~50).
+            "warmup_epochs": args.warmup,
         }
         print(json.dumps({
             "robots_flip_revived_total": rb["revived_total"],
@@ -386,7 +391,10 @@ def main() -> None:
             "",
             "## Variant: robots flip mid-run (resurrection at bench scale)",
             "",
-            "Warm-up on the normal corpus; measured epochs run against a",
+            f"{rv.get('warmup_epochs', '?')} warm-up epochs on the normal "
+            "corpus (the revived count below scales with the",
+            "robots_blocked state those epochs accumulate); measured "
+            "epochs run against a",
             "robots-loosened copy over the same warehouse, so the first",
             "measured epoch rebuilds the robots dimension and re-evaluates",
             "the FULL robots_blocked set (plan: pushed state-filter scan,",
