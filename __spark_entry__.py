@@ -40,14 +40,19 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # land exactly here. A decoder regression (or a silent fallback to the
 # sha256 fake) breaks the driver's value-hash, not just pytest.
 _MEDIAGEN_IMAGE = [  # (media_id, width, height, n_bytes, phash64)
+    # id % 3 picks the codec (0 PNG, 1 GIF, 2 baseline JPEG); the phash
+    # literal is the same direct pixel math for all three because every
+    # encoder here round-trips the flat-block luma exactly (JPEG: DC-only
+    # blocks, see mediagen.encode_jpeg_flat).
     (0, 64, 64, 145, 2603870054337101093),
     (1, 64, 64, 5459, 7978530730557377381),
-    (2, 64, 64, 145, -2198301869116518312),
-    (3, 64, 64, 5459, 3096033469629463048),
-    (4, 64, 64, 141, 7101111719573440819),
-    (5, 64, 64, 5459, -6842290986621632233),
+    (2, 64, 64, 220, -2198301869116518312),
+    (3, 64, 64, 138, 3096033469629463048),
+    (4, 64, 64, 5459, 7101111719573440819),
+    (5, 64, 64, 226, -6842290986621632233),
     (6, 64, 64, 140, 7765309262242102094),
     (7, 64, 64, 5459, 6977371959642261630),
+    (8, 64, 64, 228, -6178985393311464927),
 ]
 _MEDIAGEN_AUDIO = [  # (media_id, sample_rate, channels, duration_ms,
     #                   rms_e4, zero_crossings, audio_hash64, decoded)
@@ -507,11 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ids.mapInPandas(gen, schema=multimodal.MEDIA)
 
-    def q_media_real_decode(spark, sf):  # REAL PNG/GIF pixel decode
+    def q_media_real_decode(spark, sf):  # REAL PNG/GIF/JPEG pixel decode
         from torspider_spark.operators import multimodal
 
         feats = multimodal.decode_image_features(
-            _synth_media(spark, sf, "image", 8))
+            _synth_media(spark, sf, "image", 9))
         # Per-row dims + perceptual hash: a fallback (sha256 fake) or any
         # decoder regression produces different longs than the
         # independently-computed oracle literals -> value-hash mismatch.
@@ -1073,7 +1078,7 @@ def oracle_sql() -> dict[str, str]:
             # Literals computed from the generator seeds by direct pixel
             # math (no codec in the loop — see _MEDIAGEN_IMAGE above);
             # the semi-join keeps the row set tied to the documents table
-            # at any sf, mirroring the Spark side's doc_id < 8 filter.
+            # at any sf, mirroring the Spark side's doc_id < 9 filter.
             "SELECT media_id, width, height, n_bytes, phash64 FROM "
             + _values_sql(_MEDIAGEN_IMAGE,
                           ["media_id", "width", "height", "n_bytes",

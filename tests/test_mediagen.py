@@ -176,3 +176,25 @@ def test_driver_queries_hit_real_decode(spark, query, literals):
     rows = [tuple(r) for r in
             entry.queries()[query](spark, SF_DIR).collect()]
     assert rows == getattr(entry, literals)
+
+
+def test_jpeg_flat_roundtrip_exact():
+    """JPEG is lossy in general; for constant 8x8 blocks the DC-only
+    encoding round-trips bit-exactly through the REAL baseline decoder
+    (huffman build, DC prediction, EOB, dequant, IDCT all driven)."""
+    from torspider_spark.weblib.jpegcodec import decode_jpeg
+
+    for media_id in (2, 5, 8):
+        luma = mg.synth_luma(media_id)
+        w, h, ch, px = decode_jpeg(mg.encode_jpeg_flat(luma))
+        assert (w, h, ch) == (64, 64, 3)
+        got = np.frombuffer(bytes(px), dtype=np.uint8).reshape(64, 64, 3)
+        assert np.array_equal(got[:, :, 0], luma)
+        assert np.array_equal(got[:, :, 1], luma)
+
+
+def test_jpeg_flat_rejects_nonconstant_blocks():
+    luma = mg.synth_luma(0).copy()
+    luma[0, 0] ^= 1
+    with pytest.raises(ValueError):
+        mg.encode_jpeg_flat(luma)

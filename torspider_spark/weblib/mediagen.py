@@ -23,6 +23,9 @@ Everything here is stdlib + numpy and bit-deterministic:
   every 128 literals so the code width never grows — GIF89a app. F);
   animated frames carry per-frame GCEs with disposal / transparency so
   the canvas-composition path is genuinely driven.
+* ``encode_jpeg_flat`` — baseline JFIF for constant-8x8-block images:
+  DC-only blocks make the lossy format round-trip bit-exactly, so the
+  REAL huffman/dequant/IDCT path sits under the same exact oracle.
 * ``synth_samples`` / ``encode_wav`` — LCG-seeded int16 PCM mono RIFF.
 
 Reference parity: TorSpider (the reference crawler) has no media
@@ -168,6 +171,79 @@ def encode_gif_animated(frames: list[dict], canvas_w: int = IMG_W,
     return bytes(out)
 
 
+# -------------------------------------------------------------- JPEG ----
+
+def _bit_writer():
+    """MSB-first JPEG entropy bit writer with 0xFF byte stuffing."""
+    state = {"acc": 0, "n": 0, "out": bytearray()}
+
+    def put(val: int, length: int) -> None:
+        state["acc"] = (state["acc"] << length) | (val & ((1 << length) - 1))
+        state["n"] += length
+        while state["n"] >= 8:
+            b = (state["acc"] >> (state["n"] - 8)) & 0xFF
+            state["n"] -= 8
+            state["out"].append(b)
+            if b == 0xFF:
+                state["out"].append(0x00)
+
+    def done() -> bytes:
+        if state["n"]:
+            put(0xFF, 8 - state["n"])   # pad with 1s (spec-mandated)
+        return bytes(state["out"])
+
+    return put, done
+
+
+def encode_jpeg_flat(luma: np.ndarray, quant: int = 16) -> bytes:
+    """Baseline JFIF, grayscale, restricted to images whose ALIGNED 8x8
+    blocks are constant — everything ``synth_luma`` emits. A constant
+    block's forward DCT is DC-only (DC = 8*(v-128), every AC exactly 0),
+    so each block encodes as one DC diff + EOB and the decoder's
+    dequant + IDCT reproduce v to within float rounding — the decoded
+    image equals the source exactly after the round/clamp, making the
+    payload usable under a bit-exact oracle despite JPEG being lossy in
+    general. Tables are written explicitly (flat quant; canonical DC
+    categories 0-11 at 4 bits; a single 2-bit AC code for EOB), so the
+    decoder's DQT/DHT/SOF0/SOS parsing, canonical huffman build, DC
+    prediction and EOB handling are all genuinely driven."""
+    h, w = luma.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_flat needs 8-aligned dims")
+    blocks = (luma.reshape(h // 8, 8, w // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 64))
+    if not bool(np.all(blocks == blocks[:, :1])):
+        raise ValueError("encode_jpeg_flat needs constant 8x8 blocks")
+    vals = blocks[:, 0].astype(np.int64)
+    dcq = np.floor((8.0 * (vals - 128)) / quant + 0.5).astype(np.int64)
+
+    put, done = _bit_writer()
+    pred = 0
+    for q in dcq:
+        diff = int(q) - pred
+        pred = int(q)
+        s = abs(diff).bit_length()
+        put(s, 4)                               # DC symbol == category
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        put(0b00, 2)                            # AC table's one code: EOB
+    entropy = done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([quant] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)     # 12 codes of length 4
+    dht_dc = seg(0xC4, b"\x00" + dc_counts + bytes(range(12)))
+    ac_counts = bytes([0, 1] + [0] * 14)            # one code of length 2
+    dht_ac = seg(0xC4, b"\x10" + ac_counts + b"\x00")
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + sos
+            + entropy + b"\xFF\xD9")
+
+
 # --------------------------------------------------------------- WAV ----
 
 WAV_RATE = 8000
@@ -194,10 +270,12 @@ def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
 # ------------------------------------------------- driver-query inputs --
 
 def image_payload(media_id: int) -> bytes:
-    """Even ids -> PNG, odd -> GIF, same seed family — the cross-codec
-    pairing the driver oracle checks."""
+    """id % 3: 0 -> PNG, 1 -> GIF, 2 -> baseline JPEG — same seed
+    family, so the oracle checks all three real decoders against one
+    pixel-math expectation per id."""
     luma = synth_luma(media_id)
-    return encode_png(luma) if media_id % 2 == 0 else encode_gif(luma)
+    return (encode_png(luma), encode_gif(luma),
+            encode_jpeg_flat(luma))[media_id % 3]
 
 
 def video_payload(media_id: int) -> bytes:
