@@ -405,6 +405,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs"))
                 .orderBy("detected_lang"))
 
+    def q_curation_pipeline(spark, sf):  # training-data: the FULL chain
+        """End-to-end corpus curation — the composition a 100-TB
+        training-data job actually runs, as ONE lazy plan: quality gate
+        (quality_score >= 0.85 — non-vacuous: the fixture has sub-0.85
+        docs) -> exact dedup (min doc_id per content_md5, against
+        injected id+1e6 exact copies of every doc_id % 40 == 0 so the
+        stage demonstrably drops rows at any sf) -> near-dup drop
+        (exact n-gram Jaccard >= 0.2, higher doc_id of each pair
+        dropped) -> language-ID rollup with token totals. Scores are
+        integerized per row (e6, half-up on the identical double both
+        engines compute) before aggregation so the oracle comparison
+        never rides float summation order.
+
+        100-TB note: the one stage that changes shape at scale is the
+        near-dup step — swap the exact all-shingle self-join for
+        textdedup.lsh_candidate_pairs (banded minhash) feeding the SAME
+        Jaccard verifier; the rest of the chain is shuffle-per-stage
+        linear (quality/langid/tokens are codegen'd maps, exact dedup is
+        one hash partition by content_md5)."""
+        from pyspark.sql import Window
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        dups = (docs.filter(F.col("doc_id") % 40 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        "text"))
+        scored = (quality.quality_score(docs.unionByName(dups))
+                  .filter(F.col("quality_score") >= 0.85))
+        kept = (quality.fingerprint(scored)
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("content_md5").orderBy("doc_id")))
+                .filter(F.col("rn") == 1).drop("rn"))
+        pairs = textdedup.ngram_jaccard_pairs(
+            kept.select("doc_id", "text"), threshold=0.2)
+        final = kept.join(pairs.select(F.col("b").alias("doc_id")).distinct(),
+                          "doc_id", "left_anti")
+        final = quality.token_count(quality.language_id(final))
+        return (final.groupBy("detected_lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("total_tokens"),
+                     F.sum(F.floor(F.col("quality_score") * 1000000 + 0.5)
+                           .cast("long")).cast("long")
+                     .alias("sum_score_e6"))
+                .orderBy("detected_lang"))
+
     def q_ngram_jaccard(spark, sf):  # training-data: exact n-gram jaccard
         pairs = textdedup.ngram_jaccard_pairs(
             _t(spark, sf, "documents").select("doc_id", "text"),
@@ -769,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "language_id": q_language_id,
+        "curation_pipeline": q_curation_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "near_dup_cosine": q_near_dup_cosine,
@@ -810,18 +855,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — same aliases as the Spark queries
 # ---------------------------------------------------------------------------
 
-def _langid_oracle() -> str:
-    """DuckDB mirror of operators/quality.language_id: per-language
-    stopword hit counts, winner = alphabetically-first among the maxima
-    (exactly the Spark fold's >=-with-reverse-iteration tie-break),
-    'und' when nothing hits. Generated from the same STOPWORDS dict so
-    the profiles can never drift apart."""
+def _langid_fragments(tk_expr: str) -> tuple[str, str]:
+    """(hits-select-list, winner-CASE) mirroring quality.language_id over
+    any token-array SQL expression: per-language stopword hit counts,
+    winner = alphabetically-first among the maxima (exactly the Spark
+    fold's >=-with-reverse-iteration tie-break), 'und' when nothing hits.
+    Generated from the same STOPWORDS dict so profiles can never drift."""
     from torspider_spark.operators.quality import STOPWORDS
 
     langs = sorted(STOPWORDS)
     hits = ", ".join(
-        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-        "t -> list_contains(["
+        f"len(list_filter({tk_expr}, t -> list_contains(["
         + ", ".join("'" + w + "'" for w in STOPWORDS[lang])
         + f"], t))) AS h_{lang}"
         for lang in langs)
@@ -834,10 +878,78 @@ def _langid_oracle() -> str:
             + ") = 0 THEN 'und' "
             + " ".join(branches)
             + f" ELSE '{langs[-1]}' END")
+    return hits, case
+
+
+def _langid_oracle() -> str:
+    hits, case = _langid_fragments(
+        "string_split_regex(trim(lower(text)), '\\s+')")
     return (f"WITH h AS (SELECT {hits} FROM documents) "
             f"SELECT {case} AS detected_lang, "
             "CAST(count(*) AS BIGINT) AS n_docs "
             "FROM h GROUP BY 1 ORDER BY detected_lang")
+
+
+def _curation_oracle() -> str:
+    """DuckDB mirror of q_curation_pipeline — the full training-data
+    curation chain (quality gate -> exact dedup -> near-dup drop ->
+    language rollup) as one SQL statement. Float discipline: the score
+    is integerized PER ROW (round-half-up to e6 on the identical double
+    both engines compute) before any aggregation, so sums are
+    order-independent exact integers."""
+    hits, case = _langid_fragments("tk")
+    return (
+        "WITH src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 40 = 0), "
+        "t AS (SELECT doc_id, text, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+        "FROM src), "
+        "feat AS (SELECT doc_id, text, tk, length(text) AS nc, "
+        "len(tk) AS nt, "
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', "
+        "'g')) AS np, "
+        "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+        "AS nu FROM t), "
+        # the same 4-component composite quality.quality_score builds
+        "scored AS (SELECT *, round(("
+        "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
+        "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
+        "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
+        "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
+        "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
+        "AS score FROM feat), "
+        "good AS (SELECT *, md5(array_to_string(tk, ' ')) AS cmd5 "
+        "FROM scored WHERE score >= 0.85), "
+        "kept AS (SELECT * FROM good QUALIFY "
+        "row_number() OVER (PARTITION BY cmd5 ORDER BY doc_id) = 1), "
+        # near-dup pairs over survivors: same shingle math as
+        # ngram_jaccard (trimmed, NOT lowercased words)
+        "w AS (SELECT doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS words FROM kept), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(words) - 2, 1)), "
+        "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
+        "))) AS sh FROM w), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh "
+        "GROUP BY doc_id), "
+        "co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common "
+        "FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2), "
+        "dropped AS (SELECT DISTINCT b AS doc_id FROM co "
+        "JOIN sizes sa ON sa.doc_id = co.a "
+        "JOIN sizes sb ON sb.doc_id = co.b "
+        "WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.2), "
+        "final AS (SELECT k.* FROM kept k LEFT JOIN dropped d "
+        "USING (doc_id) WHERE d.doc_id IS NULL), "
+        f"langed AS (SELECT doc_id, nt, score, {hits} FROM final), "
+        f"named AS (SELECT {case} AS detected_lang, nt, score "
+        "FROM langed) "
+        "SELECT detected_lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, "
+        "CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS sum_score_e6 "
+        "FROM named GROUP BY 1 ORDER BY detected_lang")
 
 
 def _near_dup_cosine_oracle(dim: int = 64, n_planes: int = 6,
@@ -965,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)"
         ),
         "language_id": _langid_oracle(),
+        "curation_pipeline": _curation_oracle(),
         "ngram_jaccard": (
             # Mirrors textdedup.word_shingles exactly: whitespace split of
             # the TRIMMED (not lowercased) text, greatest(n-2, 1) shingle
