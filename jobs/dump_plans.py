@@ -150,6 +150,20 @@ def main() -> None:
         "the int bucket on BOTH sides — probe rows meet their shard where "
         "it lives; no bitset on the driver)", explain_str(probed)))
 
+    sf_dir = "/root/testdata/sf0.001"
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        import __spark_entry__ as entry_mod
+
+        cur = entry_mod.queries()["curation_pipeline"](spark, sf_dir)
+        sections.append((
+            "training-data — curation_pipeline composition (watch: "
+            "ReadSchema prunes documents to doc_id+text; the exact-dedup "
+            "row_number becomes WindowGroupLimit — rank-limit pushdown, "
+            "no full sort materialization; pair verification joins are "
+            "broadcast; the final near-dup drop is ONE sort-merge "
+            "LeftAnti; quality/langid/token expressions all sit inside "
+            "codegen stages)", explain_str(cur)))
+
     out = ["# BENCH/PLANS — physical plans of the epoch pipeline",
            "",
            "Generated by jobs/dump_plans.py on the tiny corpus; the same",
