@@ -73,6 +73,21 @@ _MEDIAGEN_FRAMES = [  # (media_id, frame_idx, frame_phash64)
     (3, 0, 3096033469629463048), (3, 1, 3096046888110520840),
     (3, 2, 9149060985109085837),
 ]
+_MEDIAGEN_THUMBS = [  # (media_id, thumb_w, thumb_h, n_bytes, thumb_sha1)
+    # 16x16 box-average luma thumbnails of the same id%3-coded payloads;
+    # each 4x4 box sits inside one constant 8x8 block, so the sha1 comes
+    # from direct reshape-mean math over synth_luma — identical for all
+    # three codecs (the DC-only JPEG round-trips exactly too).
+    (0, 16, 16, 256, "'8ca56ddaa08044970b0bef24c853f642433cec39'"),
+    (1, 16, 16, 256, "'774a2d95cb75ddf864a7a912d0327c1ba08d5607'"),
+    (2, 16, 16, 256, "'19134e7c3c18970b4209233231a012a387dd11fb'"),
+    (3, 16, 16, 256, "'23aff35bba0d4ddc56c3e4f1c0895f18045d300a'"),
+    (4, 16, 16, 256, "'78ba3ecd0a888e2476e453771c2dd584a75225c8'"),
+    (5, 16, 16, 256, "'b51786d2c23d7f7e1c3b51555420295eef317d76'"),
+    (6, 16, 16, 256, "'3527c4e4afb7c1f0a3ce1da6d6d9bab9ef865eba'"),
+    (7, 16, 16, 256, "'d44dfd29a959a009d4279e5e2393fa19c0e42ced'"),
+    (8, 16, 16, 256, "'14cde934b218dfdef12e9b13e4954ab230526e20'"),
+]
 
 
 def _values_sql(rows, cols) -> str:
@@ -594,6 +609,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all surface as value-hash mismatches.
         return frames.orderBy("media_id", "frame_idx")
 
+    def q_thumbnails_real(spark, sf):  # REAL box-average luma resize
+        from torspider_spark.operators import multimodal
+
+        thumbs = multimodal.image_thumbnails(
+            _synth_media(spark, sf, "image", 9), thumb_w=16, thumb_h=16)
+        # The thumb bytes are checked via JVM-side sha1 against literals
+        # computed by direct reshape-mean math over the source luma (no
+        # codec in the loop) — a NULL thumb (silent decode fallback) or
+        # any resize-kernel drift breaks the value hash per row.
+        return (thumbs.select(
+            "media_id", "thumb_w", "thumb_h",
+            F.length("thumb").cast("long").alias("n_bytes"),
+            F.sha1(F.col("thumb")).alias("thumb_sha1"))
+            .orderBy("media_id"))
+
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
         query_vec = [float(x) for x in
@@ -825,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "audio_real_decode": q_audio_real_decode,
         "video_frames_real": q_video_frames_real,
+        "thumbnails_real": q_thumbnails_real,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
         "rollup": q_rollup,
@@ -1215,6 +1246,16 @@ def oracle_sql() -> dict[str, str]:
                           ["media_id", "frame_idx", "frame_phash64"])
             + " WHERE media_id IN (SELECT doc_id FROM documents) "
             "ORDER BY media_id, frame_idx"
+        ),
+        "thumbnails_real": (
+            # sha1 literals from direct reshape-mean over synth_luma (see
+            # _MEDIAGEN_THUMBS); identical across PNG/GIF/DC-JPEG.
+            "SELECT media_id, thumb_w, thumb_h, n_bytes, thumb_sha1 FROM "
+            + _values_sql(_MEDIAGEN_THUMBS,
+                          ["media_id", "thumb_w", "thumb_h", "n_bytes",
+                           "thumb_sha1"])
+            + " WHERE media_id IN (SELECT doc_id FROM documents) "
+            "ORDER BY media_id"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

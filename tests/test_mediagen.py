@@ -163,6 +163,38 @@ def test_frame_literals_recompute_from_source():
     assert {(m, i): h for m, i, h in entry._MEDIAGEN_FRAMES} == expected
 
 
+def _thumb_direct(media_id: int) -> bytes:
+    """Independent 16x16 box-average thumbnail: reshape-mean over 4x4
+    boxes of the source luma, round-half-up (each box sits inside one
+    constant 8x8 block, so the mean is exact)."""
+    luma = mg.synth_luma(media_id)
+    means = luma.reshape(16, 4, 16, 4).astype(np.int64).sum(
+        axis=(1, 3)) / 16.0
+    return np.minimum(255, (means + 0.5).astype(np.int64)).astype(
+        np.uint8).tobytes()
+
+
+def test_thumb_literals_recompute_from_source():
+    import hashlib
+
+    import __spark_entry__ as entry
+
+    for media_id, tw, th, n_bytes, sha_quoted in entry._MEDIAGEN_THUMBS:
+        thumb = _thumb_direct(media_id)
+        assert (tw, th, n_bytes) == (16, 16, len(thumb))
+        assert sha_quoted.strip("'") == hashlib.sha1(thumb).hexdigest()
+
+
+def test_thumbnails_driver_query_hits_real_resize(spark):
+    import __spark_entry__ as entry
+
+    rows = [tuple(r) for r in
+            entry.queries()["thumbnails_real"](spark, SF_DIR).collect()]
+    expected = [(m, tw, th, nb, sha.strip("'"))
+                for m, tw, th, nb, sha in entry._MEDIAGEN_THUMBS]
+    assert rows == expected
+
+
 # ------------------------------------------- Spark operator path --------
 
 @pytest.mark.parametrize("query,literals", [
