@@ -237,3 +237,43 @@ def test_crash_inside_fold_publish_resumes_clean(
     assert resumed.resume_epoch() == 3
     resumed.run(max_epochs=_N - 2)
     assert _state(resumed) == want
+
+
+def test_backfill_epoch_millis_exact_on_float_hostile_value(
+        spark, corpus_dir, tmp_path):
+    """Regression (flaked ~0.6% of runs): _backfill_metrics reconstructed
+    epoch_millis via seconds = millis/1000.0 and _commit_metrics re-derived
+    int(seconds*1000) — a float round-trip that truncates ~6 per 1000
+    integers (e.g. 1001 -> 1000.9999... -> 1000). The exact integer must
+    flow through. This pins a known-truncating value deterministically
+    instead of waiting for the e2e timing to land on one."""
+    import json
+    import os
+
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(**BASE)
+    work = str(tmp_path / "wh")
+    job = CrawlJob(spark, corpus, work, cfg)
+    job.run(max_epochs=2)
+
+    hostile = 1001
+    assert int(hostile / 1000.0 * 1000) != hostile  # the trap is real
+    barrier = "frontier_journal" if cfg.frontier_mor else "frontier"
+    mpath = job.wh._manifest_path(barrier)
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    for snap in manifest["snapshots"]:
+        if snap["epoch"] == 2 and "epoch_millis" in snap.get("meta", {}):
+            snap["meta"]["epoch_millis"] = hostile
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, mpath)
+
+    job.wh.rollback("metrics", 1)   # lose epoch 2's metrics row
+    resumed = CrawlJob(spark, corpus, work, cfg)
+    assert resumed.resume_epoch() == 3
+    resumed._backfill_metrics()
+    got = {int(r.value) for r in resumed.metrics_df()
+           .filter("epoch = 2 AND metric = 'epoch_millis'").collect()}
+    assert got == {hostile}

@@ -464,7 +464,7 @@ class CrawlJob:
         # via pyarrow (Warehouse.commit_local) — no Spark job, zero
         # serialized wall — still BEFORE the journal barrier (same crash
         # ordering as when they rode the sink pool).
-        self._commit_metrics(epoch, pre_stats, bucket_rows)
+        self._commit_metrics(epoch, pre_stats, bucket_rows, epoch_millis)
 
         def _commit_sink(name, df):
             if name == "frontier":
@@ -682,8 +682,8 @@ class CrawlJob:
     def events_df(self) -> DataFrame:
         return self.wh.read("events")
 
-    def _commit_metrics(self, epoch: int, stats: dict,
-                        bucket_rows: list) -> None:
+    def _commit_metrics(self, epoch: int, stats: dict, bucket_rows: list,
+                        epoch_millis: int | None = None) -> None:
         """G6 — per-epoch counters + per-bucket insert lineage.
 
         The bucket rows are the deterministic lineage: logical bucket =
@@ -707,7 +707,14 @@ class CrawlJob:
             for name in ("candidates", "blocked", "revived", "posted",
                          "discovered", "inserted")
         ]
-        rows.append((epoch, -1, "epoch_millis", int(stats["seconds"] * 1000)))
+        # epoch_millis passed as the exact integer when the caller has it
+        # (the canonical pre-sink value / the barrier meta); deriving it
+        # from a float-seconds round-trip can truncate one millisecond off
+        # (epoch_millis/1000.0*1000 == N - epsilon), which broke backfill
+        # value-identity.
+        if epoch_millis is None:
+            epoch_millis = int(stats["seconds"] * 1000)
+        rows.append((epoch, -1, "epoch_millis", int(epoch_millis)))
         rows.extend((epoch, int(r["b"]), "inserted_bucket_rows",
                      int(r["count"])) for r in bucket_rows)
         self.wh.commit_local("metrics", rows, metrics_arrow(), epoch,
@@ -746,10 +753,10 @@ class CrawlJob:
             stats = {k: int(meta.get(k, 0))
                      for k in ("candidates", "blocked", "revived", "posted",
                                "discovered", "inserted")}
-            stats["seconds"] = meta["epoch_millis"] / 1000.0
             bucket_rows = [{"b": b, "count": n}
                            for b, n in meta.get("bucket_rows", [])]
-            self._commit_metrics(epoch, stats, bucket_rows)
+            self._commit_metrics(epoch, stats, bucket_rows,
+                                 int(meta["epoch_millis"]))
 
     # -- the loop ------------------------------------------------------------
 
