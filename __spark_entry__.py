@@ -624,6 +624,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha1(F.col("thumb")).alias("thumb_sha1"))
             .orderBy("media_id"))
 
+    def q_dup_clusters(spark, sf):  # training-data: CC over dup pairs
+        from torspider_spark.operators import graphdedup
+
+        # Deterministic pair families over the fixture ids: chains
+        # (d, d+1) for d%10<3 — the transitivity-hard shape — plus
+        # bridges (d, d+13) at d%100==0 merging two chains into one
+        # 8-node component. The oracle resolves the same graph with a
+        # recursive reachability CTE, so any contraction bug (chain not
+        # collapsed, wrong representative, bad sizes) hash-mismatches.
+        ids = _t(spark, sf, "documents").select("doc_id")
+        chain = (ids.filter(F.col("doc_id") % 10 < 3)
+                 .select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 1).alias("b")))
+        bridge = (ids.filter(F.col("doc_id") % 100 == 0)
+                  .select(F.col("doc_id").alias("a"),
+                          (F.col("doc_id") + 13).alias("b")))
+        exists = ids.select(F.col("doc_id").alias("b"))
+        pairs = chain.unionByName(bridge).join(exists, "b", "left_semi")
+        return graphdedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+    def q_span_dedup(spark, sf):  # training-data: C4-style span dedup
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        copies = (docs.filter(F.col("doc_id") % 5 == 0)
+                  .select((F.col("doc_id") + 100000).alias("doc_id"),
+                          "text"))
+        out = textdedup.span_dedup(docs.unionByName(copies), span_words=10)
+        # md5 keeps the row narrow; the oracle rebuilds clean_text with
+        # string_agg over the same first-occurrence rule, so a single
+        # mis-kept or mis-ordered span flips the digest.
+        return (out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                           "n_spans", "n_kept")
+                .orderBy("doc_id"))
+
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
         query_vec = [float(x) for x in
@@ -856,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_real_decode": q_audio_real_decode,
         "video_frames_real": q_video_frames_real,
         "thumbnails_real": q_thumbnails_real,
+        "dup_clusters": q_dup_clusters,
+        "span_dedup": q_span_dedup,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
         "rollup": q_rollup,
@@ -1256,6 +1291,54 @@ def oracle_sql() -> dict[str, str]:
                            "thumb_sha1"])
             + " WHERE media_id IN (SELECT doc_id FROM documents) "
             "ORDER BY media_id"
+        ),
+        "dup_clusters": (
+            # Independent algorithm: recursive reachability CTE + min
+            # label, vs the engine's large-star/small-star contraction.
+            "WITH RECURSIVE e AS ("
+            "SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+            "WHERE doc_id % 10 < 3 "
+            "AND doc_id + 1 IN (SELECT doc_id FROM documents) "
+            "UNION ALL "
+            "SELECT doc_id, doc_id + 13 FROM documents "
+            "WHERE doc_id % 100 = 0 "
+            "AND doc_id + 13 IN (SELECT doc_id FROM documents)), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+            "reach(n, r) AS (SELECT n, n FROM nodes UNION "
+            "SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+            "comp AS (SELECT n AS doc_id, min(r) AS cluster_id "
+            "FROM reach GROUP BY n), "
+            "sizes AS (SELECT cluster_id, count(*) AS cluster_size "
+            "FROM comp GROUP BY cluster_id) "
+            "SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size, "
+            "comp.doc_id = comp.cluster_id AS is_keeper "
+            "FROM comp JOIN sizes USING (cluster_id) ORDER BY doc_id"
+        ),
+        "span_dedup": (
+            # Same first-occurrence rule via window row_number; the range
+            # bound (200) clears the fixture max of ~111 words/doc.
+            "WITH both_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "words AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM both_docs), "
+            "spans AS (SELECT doc_id, r.i AS span_idx, "
+            "array_to_string(w[r.i*10+1 : r.i*10+10], ' ') AS span "
+            "FROM words JOIN range(0, 200) r(i) "
+            "ON r.i < ceil(len(w) / 10.0)), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY span "
+            "ORDER BY doc_id, span_idx) AS rn FROM spans), "
+            "rebuilt AS (SELECT doc_id, "
+            "string_agg(span, ' ' ORDER BY span_idx) AS clean_text, "
+            "count(*) AS n_kept FROM ranked WHERE rn = 1 GROUP BY doc_id), "
+            "totals AS (SELECT doc_id, count(*) AS n_spans FROM spans "
+            "GROUP BY doc_id) "
+            "SELECT b.doc_id, md5(coalesce(clean_text, '')) AS clean_md5, "
+            "coalesce(n_spans, 0) AS n_spans, "
+            "coalesce(n_kept, 0) AS n_kept "
+            "FROM both_docs b LEFT JOIN totals USING (doc_id) "
+            "LEFT JOIN rebuilt USING (doc_id) ORDER BY doc_id"
         ),
         "sessionize": (
             "WITH g AS (SELECT user_id, ts, "

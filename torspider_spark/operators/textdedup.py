@@ -288,3 +288,69 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def word_span_array(text_col: str, span_words: int = 10):
+    """Array of NON-overlapping ``span_words``-word spans (the final span
+    may be shorter) — the unit of C4-style span-level dedup. Single-space
+    split on purpose: it is the exact inverse of the joiner below AND
+    byte-identical to the SQL oracle's string_split, so the reassembled
+    text round-trips."""
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(
+        F.ceil(F.size(words) / F.lit(span_words)), F.lit(1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "),
+    )
+
+
+def span_dedup(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               span_words: int = 10) -> DataFrame:
+    """Corpus-wide span-level dedup (C4-style): any span whose exact text
+    already occurred EARLIER in the corpus — a lower doc id, or an earlier
+    position in the same document — is removed, and each document's
+    surviving spans are rejoined in order.
+
+    Output: (doc_id, clean_text, n_spans, n_kept) for every input doc
+    (clean_text == '' when nothing survives, e.g. a wholesale copy of an
+    earlier document).
+
+    Scale shape: first-occurrence per span is a groupBy(span).min(struct)
+    — partial aggregation collapses each map partition to one row per
+    span BEFORE the shuffle, so a boilerplate span repeated across a
+    billion pages costs its duplicates only map-side (this is why it is
+    an aggregate and not a row_number window, which would sort the whole
+    hot key in one task). The survivors join is on the same span key
+    (exchange reuse + AQE skew split), and reassembly shuffles only
+    (doc_id, span_idx, span) rows — never full documents. Three shuffles
+    total, none carrying payload wider than one span.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_span_array(text_col, span_words))
+        .alias("span_idx", "span"))
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first"))
+    kept = (spans.join(firsts, "span")
+            .filter((F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("span_idx") == F.col("first.span_idx"))))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"]),
+            " ").alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(totals, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
