@@ -323,10 +323,12 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
     span BEFORE the shuffle, so a boilerplate span repeated across a
     billion pages costs its duplicates only map-side (this is why it is
     an aggregate and not a row_number window, which would sort the whole
-    hot key in one task). The survivors join is on the same span key
-    (exchange reuse + AQE skew split), and reassembly shuffles only
-    (doc_id, span_idx, span) rows — never full documents. Three shuffles
-    total, none carrying payload wider than one span.
+    hot key in one task). The flag join is on the same span key (exchange
+    reuse + AQE skew split), and because every document yields at least
+    one span, totals + survivors + reassembly all come from ONE
+    groupBy(doc_id) over the flagged rows (collect_list drops the
+    null'd-out losers). Two aggregations + one join, no row wider than
+    one span.
     """
     spans = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -334,23 +336,17 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
         .alias("span_idx", "span"))
     firsts = spans.groupBy("span").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("first"))
-    kept = (spans.join(firsts, "span")
-            .filter((F.col("doc_id") == F.col("first.doc_id"))
-                    & (F.col("span_idx") == F.col("first.span_idx"))))
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                lambda s: s["span"]),
-            " ").alias("clean_text"),
-        F.count("*").alias("n_kept"))
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    return (docs.select(F.col(id_col).alias("doc_id"))
-            .join(totals, "doc_id", "left")
-            .join(rebuilt, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("n_spans", F.lit(0)).cast("long")
-                    .alias("n_spans"),
-                    F.coalesce("n_kept", F.lit(0)).cast("long")
-                    .alias("n_kept")))
+    kept = (F.col("doc_id") == F.col("first.doc_id")) & \
+        (F.col("span_idx") == F.col("first.span_idx"))
+    flagged = (spans.join(firsts, "span")
+               .select("doc_id", "span_idx", "span", kept.alias("kept")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct("span_idx", "span")))),
+                         lambda s: s["span"]),
+                     " ").alias("clean_text"),
+                 F.count("*").cast("long").alias("n_spans"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept")))
