@@ -164,6 +164,30 @@ def main() -> None:
             "LeftAnti; quality/langid/token expressions all sit inside "
             "codegen stages)", explain_str(cur)))
 
+        span = entry_mod.queries()["span_dedup"](spark, sf_dir)
+        sections.append((
+            "training-data — span_dedup (watch: first-occurrence is a "
+            "partial-then-final aggregate on the span key — SortAggregate "
+            "pairs around ONE Exchange, map-side combine absorbs hot "
+            "boilerplate spans; no row_number Window anywhere; totals + "
+            "survivor reassembly fused into one groupBy(doc_id) "
+            "ObjectHashAggregate over a kept flag)", explain_str(span)))
+
+        from torspider_spark.operators import graphdedup as _gd
+        ids = entry_mod._t(spark, sf_dir, "documents").select("doc_id")
+        pairs = (ids.filter(F.col("doc_id") % 10 < 3)
+                 .select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 1).alias("b")))
+        sections.append((
+            "training-data — connected-components ONE large-star round "
+            "(watch: per-node min is HashAggregate partial+final around "
+            "one Exchange on u; the min join lands on the SAME key — at "
+            "sf the build side broadcasts, at scale AQE keeps it "
+            "co-partitioned; the iteration wrapper localCheckpoints "
+            "between rounds so no lineage replay)",
+            explain_str(_gd._canonical(_gd._large_star(
+                _gd._canonical(pairs))))))
+
     out = ["# BENCH/PLANS — physical plans of the epoch pipeline",
            "",
            "Generated by jobs/dump_plans.py on the tiny corpus; the same",
