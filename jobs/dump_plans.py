@@ -176,8 +176,8 @@ def main() -> None:
         from torspider_spark.operators import graphdedup as _gd
         ids = entry_mod._t(spark, sf_dir, "documents").select("doc_id")
         pairs = (ids.filter(F.col("doc_id") % 10 < 3)
-                 .select(F.col("doc_id").alias("a"),
-                         (F.col("doc_id") + 1).alias("b")))
+                 .select(F.col("doc_id").alias("u"),
+                         (F.col("doc_id") + 1).alias("v")))
         sections.append((
             "training-data — connected-components ONE large-star round "
             "(watch: per-node min is HashAggregate partial+final around "
