@@ -438,7 +438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textdedup.lsh_candidate_pairs (banded minhash) feeding the SAME
         Jaccard verifier; the rest of the chain is shuffle-per-stage
         linear (quality/langid/tokens are codegen'd maps, exact dedup is
-        one hash partition by content_md5)."""
+        one hash partition by content_md5). The pairwise higher-id drop
+        here is the stated semantics; pipelines wanting exactly one
+        representative per TRANSITIVE cluster swap this stage for
+        operators/graphdedup.drop_near_duplicates (connected components
+        — see the dup_clusters driver query)."""
         from pyspark.sql import Window
 
         docs = _t(spark, sf, "documents").select("doc_id", "text")

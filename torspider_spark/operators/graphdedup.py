@@ -5,10 +5,16 @@ PAIRS; a corpus-curation pipeline then needs each *transitive* duplicate
 cluster collapsed to one representative — pairwise drops alone leave
 chains half-deduped (a~b, b~c with a!~c keeps either {a,c} or {a} depending
 on scan order). This module closes that gap with the alternating
-large-star / small-star connected-components algorithm: per-node min
-aggregations + co-partitioned joins only, O(log^2 n) rounds even on
-path-shaped clusters (the adversarial case for plain min-label
-propagation, which needs O(diameter) rounds).
+large-star / small-star connected-components algorithm (the published
+MapReduce star-contraction scheme — Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — also what GraphFrames
+ships as its default CC): per-node min aggregations + co-partitioned
+joins only, O(log^2 n) rounds even on path-shaped clusters (the
+adversarial case for plain min-label propagation, which needs
+O(diameter) rounds). Per-round cost is a fixed handful of shuffles over
+the shrinking edge set, so small-graph wall time is round-latency-bound
+while 100-TB wall time is bandwidth-bound — the right trade for a
+cluster job.
 
 Scale shape, per round: one symmetrize (map-side union), one groupBy-min
 per phase (partial aggregation combines before the shuffle), one join per
