@@ -420,6 +420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs"))
                 .orderBy("detected_lang"))
 
+    def q_repetition(spark, sf):  # training-data: Gopher repetition rules
+        rep = quality.repetition_scores(
+            _t(spark, sf, "documents"), n=2)
+        # Fractions are integerized e6 on the identical double both
+        # engines compute from exact long counts, so the comparison is
+        # bit-deterministic (same pattern as curation_pipeline's scores).
+        return rep.orderBy("doc_id")
+
     def q_curation_pipeline(spark, sf):  # training-data: the FULL chain
         """End-to-end corpus curation — the composition a 100-TB
         training-data job actually runs, as ONE lazy plan: quality gate
@@ -647,6 +655,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exists = ids.select(F.col("doc_id").alias("b"))
         pairs = chain.unionByName(bridge).join(exists, "b", "left_semi")
         return graphdedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+    def q_near_dup_drop(spark, sf):  # training-data: CC-based drop
+        from torspider_spark.operators import graphdedup
+
+        # Same chain+bridge graph as dup_clusters; here the OPERATOR
+        # under test is drop_near_duplicates — the surviving corpus must
+        # be exactly (all docs) minus (cluster members that are not the
+        # cluster minimum), row-for-row.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        ids = docs.select("doc_id")
+        chain = (ids.filter(F.col("doc_id") % 10 < 3)
+                 .select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 1).alias("b")))
+        bridge = (ids.filter(F.col("doc_id") % 100 == 0)
+                  .select(F.col("doc_id").alias("a"),
+                          (F.col("doc_id") + 13).alias("b")))
+        exists = ids.select(F.col("doc_id").alias("b"))
+        pairs = chain.unionByName(bridge).join(exists, "b", "left_semi")
+        kept = graphdedup.drop_near_duplicates(docs, pairs)
+        return (kept.select("doc_id", F.md5("text").alias("text_md5"))
+                .orderBy("doc_id"))
 
     def q_span_dedup(spark, sf):  # training-data: C4-style span dedup
         docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -879,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "language_id": q_language_id,
         "curation_pipeline": q_curation_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
@@ -894,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_real": q_video_frames_real,
         "thumbnails_real": q_thumbnails_real,
         "dup_clusters": q_dup_clusters,
+        "near_dup_drop": q_near_dup_drop,
         "span_dedup": q_span_dedup,
         "sessionize": q_sessionize,
         "running_window": q_running_window,
@@ -1318,6 +1349,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size, "
             "comp.doc_id = comp.cluster_id AS is_keeper "
             "FROM comp JOIN sizes USING (cluster_id) ORDER BY doc_id"
+        ),
+        "repetition": (
+            # Mirrors quality.repetition_scores / textdedup.word_shingles
+            # exactly: regex-split on whitespace after trim, bigram i =
+            # words[i+1 : i+2] (clamped slice, so a 1-word doc yields one
+            # short gram, not zero rows); fractions integerized e6.
+            r"WITH words AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS w "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, "
+            "array_to_string(w[r.i+1 : r.i+2], ' ') AS g "
+            "FROM words JOIN range(0, 200) r(i) "
+            "ON r.i < greatest(len(w) - 1, 1)), "
+            "per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams "
+            "GROUP BY 1, 2), "
+            "per_doc AS (SELECT doc_id, sum(c) AS n_grams, "
+            "count(*) AS n_distinct, max(c) AS top_count FROM per_gram "
+            "GROUP BY 1) "
+            "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct, "
+            "CAST(top_count AS BIGINT) AS top_count, "
+            "CAST(floor((1.0 - n_distinct*1.0/n_grams) * 1000000 + 0.5) "
+            "AS BIGINT) AS dup_frac_e6, "
+            "CAST(floor(top_count*1.0/n_grams * 1000000 + 0.5) AS BIGINT) "
+            "AS top_frac_e6 "
+            "FROM per_doc ORDER BY doc_id"
+        ),
+        "near_dup_drop": (
+            # Recursive-CTE components again; survivors = everything not
+            # a non-minimum member of some component.
+            "WITH RECURSIVE e AS ("
+            "SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+            "WHERE doc_id % 10 < 3 "
+            "AND doc_id + 1 IN (SELECT doc_id FROM documents) "
+            "UNION ALL "
+            "SELECT doc_id, doc_id + 13 FROM documents "
+            "WHERE doc_id % 100 = 0 "
+            "AND doc_id + 13 IN (SELECT doc_id FROM documents)), "
+            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+            "reach(n, r) AS (SELECT n, n FROM nodes UNION "
+            "SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+            "comp AS (SELECT n AS doc_id, min(r) AS cluster_id "
+            "FROM reach GROUP BY n) "
+            "SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents d "
+            "WHERE d.doc_id NOT IN "
+            "(SELECT doc_id FROM comp WHERE doc_id <> cluster_id) "
+            "ORDER BY d.doc_id"
         ),
         "span_dedup": (
             # Same first-occurrence rule via window row_number; the range

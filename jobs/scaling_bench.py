@@ -171,6 +171,9 @@ def summarize(samples: list[dict]) -> dict:
     rep = min(samples, key=lambda s: abs(s["wall_sec"] - med_wall))
     out = dict(rep)
     out["samples_wall_sec"] = walls
+    # Run order preserved: index i here and in the other level's list is
+    # the SAME interleave round — the designed A/B comparison.
+    out["samples_wall_sec_ordered"] = [s["wall_sec"] for s in samples]
     out["samples_throughput"] = sorted(s["throughput"] for s in samples)
     out["median_wall_sec"] = round(med_wall, 3)
     out["median_throughput"] = round(
@@ -220,7 +223,15 @@ def main() -> None:
     parser.add_argument("--only-flip", action="store_true",
                         help="re-run just the robots-flip variant and "
                              "refresh the artifacts")
+    parser.add_argument("--report-only", action="store_true",
+                        help="rewrite BENCH/BASELINE.md from the existing "
+                             "BENCH/scaling.json without running anything")
     args = parser.parse_args()
+
+    if args.report_only:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as fh:
+            write_report(json.load(fh))
+        return
 
     corpus = os.path.join(tempfile.gettempdir(), "torspider_scaling_corpus")
     out_path = os.path.join(REPO, "BENCH", "scaling.json")
@@ -249,15 +260,24 @@ def main() -> None:
             round((bt / st) / 4, 3)
             for st in small["samples_throughput"]
             for bt in big["samples_throughput"]]
+        # Adjacent interleaved pairs — round i's N run vs round i's 4N run
+        # (the designed comparison; wall ratio == throughput ratio because
+        # both levels process the identical URL set).
+        adjacent = [
+            round((sw / bw) / 4, 3)
+            for sw, bw in zip(small["samples_wall_sec_ordered"],
+                              big["samples_wall_sec_ordered"])]
         existing["headline"] = {
             "protocol": protocol, "n": small, "four_n": big,
             "scaling_efficiency": eff,
             "efficiency_pairings_min_max": [min(pairs), max(pairs)],
+            "adjacent_pair_efficiencies": adjacent,
         }
         print(json.dumps({"headline_efficiency": eff,
                           "n_samples": small["samples_wall_sec"],
                           "four_n_samples": big["samples_wall_sec"],
-                          "pairings": [min(pairs), max(pairs)]}))
+                          "pairings": [min(pairs), max(pairs)],
+                          "adjacent_pairs": adjacent}))
     existing["generated_at"] = datetime.now(timezone.utc).isoformat()
 
     if not args.skip_variants and not args.only_flip:
@@ -323,6 +343,10 @@ def main() -> None:
     if args.only_variants:
         return
 
+    write_report(existing)
+
+
+def write_report(existing: dict) -> None:
     # -- BENCH/BASELINE.md ---------------------------------------------------
     report_eff = existing["headline"]["scaling_efficiency"]
     small = existing["headline"]["n"]
@@ -353,6 +377,22 @@ def main() -> None:
         f"**Scaling efficiency (N -> 4N, from per-level medians): "
         f"{report_eff}** (target >= 0.8). Cross-pairing band over all "
         f"sample combinations: {pmin} - {pmax}.",
+    ]
+    adj = existing["headline"].get("adjacent_pair_efficiencies")
+    if adj:
+        lines += [
+            "",
+            f"Adjacent interleaved pairs (round i's N run vs round i's 4N "
+            f"run — the designed A/B comparison; the cross-pairing band "
+            f"above also mixes runs up to an hour apart): {adj}, "
+            f"median {statistics.median(adj):.3f}.",
+        ]
+    hist = existing.get("session_history")
+    if hist:
+        lines += ["", "Independent interleaved sessions this round "
+                      "(median efficiency each):"]
+        lines += [f"- {h}" for h in hist]
+    lines += [
         "",
         f"Wall above is EPOCH wall (the metric's denominator), including "
         f"any mid-run compaction. End-of-run finalization (journal "

@@ -378,3 +378,20 @@ def test_image_thumbnails_real_resize(spark):
     assert got[1] == (8, 6, expected)
     assert got[2] == (8, 6, expected)
     assert got[3] == (8, 6, None)
+
+
+def test_repetition_scores_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 grams,
+                                  # 2 distinct, top 3
+         (1, "x y z w"),          # 3 grams, all distinct, top 1
+         (2, "q")],               # shorter than n: one 1-word gram
+        "doc_id: long, text: string")
+    got = {r.doc_id: r for r in
+           quality.repetition_scores(docs, n=2).collect()}
+    assert (got[0].n_grams, got[0].n_distinct, got[0].top_count) == (5, 2, 3)
+    assert got[0].dup_frac_e6 == 600000          # 1 - 2/5
+    assert got[0].top_frac_e6 == 600000          # 3/5
+    assert (got[1].n_grams, got[1].n_distinct, got[1].top_count) == (3, 3, 1)
+    assert got[1].dup_frac_e6 == 0
+    assert (got[2].n_grams, got[2].n_distinct) == (1, 1)

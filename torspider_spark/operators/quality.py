@@ -114,3 +114,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
         .alias("rolling_min64"),
     )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals per document: the
+    fraction of word n-grams that are duplicates of an earlier n-gram in
+    the SAME document, and the share claimed by the single most frequent
+    n-gram. High values flag boilerplate / spam / degenerate generation —
+    the standard repetition filters a curation pipeline applies alongside
+    quality_score.
+
+    Output: (doc_id, n_grams, n_distinct, top_count, dup_frac_e6,
+    top_frac_e6). Fractions are integerized (floor(x*1e6 + 0.5)) so
+    cross-engine comparison never rides float formatting.
+
+    Scale shape: explode to (doc_id, gram) — never wider — then two
+    hash aggregations, both with map-side partial combine: count per
+    (doc_id, gram), then sum/count/max per doc_id. The repeated-gram hot
+    key a skew-prone window would choke on is collapsed by the combiner
+    (same argument as span_dedup's first-occurrence aggregate). Uses the
+    same word_shingles construction as the MinHash path (textdedup), so
+    a doc shorter than n words yields one short gram, not zero rows."""
+    from torspider_spark.operators.textdedup import word_shingles
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"))
+    e6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("top_count").cast("long").alias("top_count"),
+        e6(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"))
+        .alias("dup_frac_e6"),
+        e6(F.col("top_count") / F.col("n_grams")).alias("top_frac_e6"))
