@@ -19,7 +19,7 @@ HEADLINE = [
     "join_agg", "topk_per_group", "windowed_time_agg", "taxonomy_case",
     "semi_join", "anti_join", "agg_rollup", "distinct_pairs",
     "dedup_exact", "doc_quality", "token_count", "fingerprint", "ann_cosine",
-    "span_dedup", "dup_clusters",
+    "span_dedup", "dup_clusters", "repetition",
 ]
 
 CRAWL_EPOCHS = 5
