@@ -159,6 +159,7 @@ def main() -> None:
             "four_n_median_wall_sec": head.get("four_n", {}).get(
                 "median_wall_sec", head.get("four_n", {}).get("wall_sec")),
             "pairings_min_max": head.get("efficiency_pairings_min_max"),
+            "adjacent_pairs": head.get("adjacent_pair_efficiencies"),
             "compaction_variant_efficiency": full.get(
                 "compaction_variant", {}).get("scaling_efficiency"),
             "detail": "BENCH/scaling.json + BENCH/BASELINE.md",
