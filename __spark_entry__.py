@@ -881,6 +881,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = textdedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         return pairs.agg(F.count("*").alias("n_candidate_pairs"))
 
+    def q_crawl_minhash_clusters(spark, sf):  # the FULL near-dup chain
+        from torspider_spark.operators import graphdedup
+
+        # minhash -> banded LSH -> transitive cluster resolution, all on
+        # REAL similarity structure (crawl page text), vs an independent
+        # pure-Python xxh64-minhash + union-find reference. This closes
+        # the loop the synthetic-pair queries (dup_clusters) leave open:
+        # the pair GENERATOR and the cluster RESOLVER are verified here
+        # as one composition.
+        pages = spark.read.parquet(
+            os.path.join(_corpus_dir(), "pages.parquet"))
+        sigs = textdedup.minhash_signatures(
+            pages.select(F.xxhash64("url").alias("doc_id"), "text"),
+            num_hashes=16)
+        pairs = textdedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+        return graphdedup.duplicate_clusters(pairs).orderBy("doc_id")
+
     def q_crawl_simhash_dedup(spark, sf):  # simhash near-dups, crawl text
         pages = spark.read.parquet(
             os.path.join(_corpus_dir(), "pages.parquet"))
@@ -947,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_forms_table": q_crawl_forms_table,
         "crawl_links_table": q_crawl_links_table,
         "crawl_minhash_dedup": q_crawl_minhash_dedup,
+        "crawl_minhash_clusters": q_crawl_minhash_clusters,
         "crawl_simhash_dedup": q_crawl_simhash_dedup,
         "crawl_hostrank": q_crawl_hostrank,
     }
@@ -1576,5 +1594,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT host, round(rank, 4) AS rank "
             f"FROM read_parquet('{_expected_dir()}/hostrank_sim.parquet') "
             f"ORDER BY host"
+        ),
+        "crawl_minhash_clusters": (
+            f"SELECT doc_id, cluster_id, cluster_size, is_keeper FROM "
+            f"read_parquet("
+            f"'{_expected_dir()}/minhash_clusters_sim.parquet') "
+            f"ORDER BY doc_id"
         ),
     }

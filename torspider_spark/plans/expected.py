@@ -72,10 +72,11 @@ def _sim_stats(sim) -> dict[str, float]:
     }
 
 
-def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
-                        bands: int = 4, shingle_n: int = 3) -> int:
+def _minhash_pairs(corpus_dir: str, num_hashes: int = 16,
+                   bands: int = 4, shingle_n: int = 3) -> set:
     """Pure-Python reference of minhash_signatures + lsh_candidate_pairs
-    over the corpus pages (doc_id = xxhash64(url))."""
+    over the corpus pages (doc_id = xxhash64(url)): the candidate-pair
+    SET (a < b)."""
     pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"),
                           columns=["url", "text"]).to_pylist()
     rows_per_band = num_hashes // bands
@@ -99,7 +100,38 @@ def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
         for i, a in enumerate(ordered):
             for b in ordered[i + 1:]:
                 pairs.add((a, b))
-    return len(pairs)
+    return pairs
+
+
+def _minhash_pair_count(corpus_dir: str, num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3) -> int:
+    return len(_minhash_pairs(corpus_dir, num_hashes, bands, shingle_n))
+
+
+def _minhash_clusters_reference(corpus_dir: str) -> list[tuple]:
+    """Independent resolution of the minhash candidate-pair graph into
+    duplicate clusters via union-find (vs the engine's large-star/
+    small-star contraction): sorted (doc_id, cluster_id, cluster_size,
+    is_keeper) rows, cluster_id = min doc_id reachable."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_pairs(corpus_dir):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in parent}
+    sizes = defaultdict(int)
+    for root in comp.values():
+        sizes[root] += 1
+    return sorted((n, root, sizes[root], n == root)
+                  for n, root in comp.items())
 
 
 def _simhash_pairs_reference(corpus_dir: str,
@@ -204,7 +236,7 @@ def write_expected(corpus_dir: str, out_dir: str,
     cfg = cfg or CrawlConfig(bloom_min_frontier=0)
     # marker is versioned: bump when the expected-table set changes so
     # stale caches from earlier builds regenerate.
-    marker = os.path.join(out_dir, f"_done_e{epochs}_v4")
+    marker = os.path.join(out_dir, f"_done_e{epochs}_v5")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -291,6 +323,13 @@ def write_expected(corpus_dir: str, out_dir: str,
     _write(out_dir, "minhash_sim.parquet", {
         "n_candidate_pairs": pa.array([_minhash_pair_count(corpus_dir)],
                                       pa.int64()),
+    })
+    clusters = _minhash_clusters_reference(corpus_dir)
+    _write(out_dir, "minhash_clusters_sim.parquet", {
+        "doc_id": pa.array([c[0] for c in clusters], pa.int64()),
+        "cluster_id": pa.array([c[1] for c in clusters], pa.int64()),
+        "cluster_size": pa.array([c[2] for c in clusters], pa.int64()),
+        "is_keeper": pa.array([c[3] for c in clusters], pa.bool_()),
     })
     sim_pairs = _simhash_pairs_reference(corpus_dir)
     _write(out_dir, "simhash_sim.parquet", {
