@@ -158,3 +158,17 @@ def test_span_dedup_matches_reference_on_fixture_slice(spark):
     for d, _ in docs:
         if d >= 100000:
             assert got[d][2] < got[d][1]
+
+
+def test_cc_larger_graph_matches_union_find(spark):
+    """~30k nodes / ~33k edges with 600-node path components (deep
+    chains force the O(log^2) contraction through many rounds) plus
+    random cross links — labels must equal union-find exactly."""
+    rng = random.Random(11)
+    pairs = []
+    for base in range(0, 30000, 600):                  # 50 chains of 600
+        pairs += [(i, i + 1) for i in range(base, base + 599)]
+    pairs += [(rng.randrange(30000), rng.randrange(30000))
+              for _ in range(3000)]                    # random bridges
+    expected = _cc_reference([(a, b) for a, b in pairs if a != b])
+    assert _run_cc(spark, pairs) == expected
