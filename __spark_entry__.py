@@ -96,6 +96,43 @@ def _values_sql(rows, cols) -> str:
     return f"(VALUES {vals}) AS t({', '.join(cols)})"
 
 
+def _dup_pair_graph(ids: DataFrame) -> DataFrame:
+    """Deterministic (a, b) pair families over the documents ids, shared
+    by the dup_clusters and near_dup_drop queries AND mirrored verbatim
+    by _DUP_GRAPH_CTE: chains (d, d+1) for d%10<3 — the transitivity-hard
+    shape — plus bridges (d, d+13) at d%100==0 merging two chains into
+    one 8-node component."""
+    chain = (ids.filter(F.col("doc_id") % 10 < 3)
+             .select(F.col("doc_id").alias("a"),
+                     (F.col("doc_id") + 1).alias("b")))
+    bridge = (ids.filter(F.col("doc_id") % 100 == 0)
+              .select(F.col("doc_id").alias("a"),
+                      (F.col("doc_id") + 13).alias("b")))
+    exists = ids.select(F.col("doc_id").alias("b"))
+    return chain.unionByName(bridge).join(exists, "b", "left_semi")
+
+
+# DuckDB mirror of _dup_pair_graph + recursive-reachability component
+# resolution, ending in comp(doc_id, cluster_id) — shared by the
+# dup_clusters and near_dup_drop oracles.
+_DUP_GRAPH_CTE = (
+    "WITH RECURSIVE e AS ("
+    "SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
+    "WHERE doc_id % 10 < 3 "
+    "AND doc_id + 1 IN (SELECT doc_id FROM documents) "
+    "UNION ALL "
+    "SELECT doc_id, doc_id + 13 FROM documents "
+    "WHERE doc_id % 100 = 0 "
+    "AND doc_id + 13 IN (SELECT doc_id FROM documents)), "
+    "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+    "reach(n, r) AS (SELECT n, n FROM nodes UNION "
+    "SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+    "comp AS (SELECT n AS doc_id, min(r) AS cluster_id "
+    "FROM reach GROUP BY n)"
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -558,30 +595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the documents fixture (doc_id < n exists at every sf), the
         # payload bytes are generated executor-side inside the same Arrow
         # pass from the id alone (weblib.mediagen — deterministic, no
-        # external data). At scale this is exactly the shape of a payload
+        # external data; mediagen.media_batches is the one shared
+        # generator the bench uses too, so both exercise the identical
+        # frame shape). At scale this is exactly the shape of a payload
         # column read from parquet: opaque binary + typed metadata.
-        import pandas as pd
-
         from torspider_spark.operators import multimodal
+        from torspider_spark.weblib import mediagen as mg
 
         ids = (_t(spark, sf, "documents").select("doc_id")
                .filter(F.col("doc_id") < n))
-
-        def gen(it):
-            from torspider_spark.weblib import mediagen as mg
-            fn = {"image": mg.image_payload, "audio": mg.audio_payload,
-                  "video": mg.video_payload}[kind]
-            for pdf in it:
-                yield pd.DataFrame({
-                    "media_id": pdf["doc_id"].astype("int64"),
-                    "kind": kind,
-                    "payload": pd.Series(
-                        [fn(int(i)) for i in pdf["doc_id"]],
-                        dtype="object", index=pdf.index),
-                    "mime": "application/octet-stream",
-                    "source_url": None})
-
-        return ids.mapInPandas(gen, schema=multimodal.MEDIA)
+        return ids.mapInPandas(mg.media_batches(kind, "doc_id"),
+                               schema=multimodal.MEDIA)
 
     def q_media_real_decode(spark, sf):  # REAL PNG/GIF/JPEG pixel decode
         from torspider_spark.operators import multimodal
@@ -639,40 +663,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dup_clusters(spark, sf):  # training-data: CC over dup pairs
         from torspider_spark.operators import graphdedup
 
-        # Deterministic pair families over the fixture ids: chains
-        # (d, d+1) for d%10<3 — the transitivity-hard shape — plus
-        # bridges (d, d+13) at d%100==0 merging two chains into one
-        # 8-node component. The oracle resolves the same graph with a
-        # recursive reachability CTE, so any contraction bug (chain not
-        # collapsed, wrong representative, bad sizes) hash-mismatches.
-        ids = _t(spark, sf, "documents").select("doc_id")
-        chain = (ids.filter(F.col("doc_id") % 10 < 3)
-                 .select(F.col("doc_id").alias("a"),
-                         (F.col("doc_id") + 1).alias("b")))
-        bridge = (ids.filter(F.col("doc_id") % 100 == 0)
-                  .select(F.col("doc_id").alias("a"),
-                          (F.col("doc_id") + 13).alias("b")))
-        exists = ids.select(F.col("doc_id").alias("b"))
-        pairs = chain.unionByName(bridge).join(exists, "b", "left_semi")
+        # The oracle resolves _dup_pair_graph's graph with a recursive
+        # reachability CTE (_DUP_GRAPH_CTE), so any contraction bug
+        # (chain not collapsed, wrong representative, bad sizes)
+        # hash-mismatches.
+        pairs = _dup_pair_graph(_t(spark, sf, "documents").select("doc_id"))
         return graphdedup.duplicate_clusters(pairs).orderBy("doc_id")
 
     def q_near_dup_drop(spark, sf):  # training-data: CC-based drop
         from torspider_spark.operators import graphdedup
 
-        # Same chain+bridge graph as dup_clusters; here the OPERATOR
-        # under test is drop_near_duplicates — the surviving corpus must
-        # be exactly (all docs) minus (cluster members that are not the
+        # Same _dup_pair_graph as dup_clusters; here the OPERATOR under
+        # test is drop_near_duplicates — the surviving corpus must be
+        # exactly (all docs) minus (cluster members that are not the
         # cluster minimum), row-for-row.
         docs = _t(spark, sf, "documents").select("doc_id", "text")
-        ids = docs.select("doc_id")
-        chain = (ids.filter(F.col("doc_id") % 10 < 3)
-                 .select(F.col("doc_id").alias("a"),
-                         (F.col("doc_id") + 1).alias("b")))
-        bridge = (ids.filter(F.col("doc_id") % 100 == 0)
-                  .select(F.col("doc_id").alias("a"),
-                          (F.col("doc_id") + 13).alias("b")))
-        exists = ids.select(F.col("doc_id").alias("b"))
-        pairs = chain.unionByName(bridge).join(exists, "b", "left_semi")
+        pairs = _dup_pair_graph(docs.select("doc_id"))
         kept = graphdedup.drop_near_duplicates(docs, pairs)
         return (kept.select("doc_id", F.md5("text").alias("text_md5"))
                 .orderBy("doc_id"))
@@ -1019,7 +1025,10 @@ def _curation_oracle() -> str:
     hits, case = _langid_fragments("tk")
     return (
         "WITH src AS (SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "UNION ALL SELECT doc_id + CASE WHEN "
+        "(SELECT max(doc_id) FROM documents) >= 1000000 THEN "
+        "error('fixture doc_id exceeds the 1e6 injection offset') "
+        "ELSE 1000000 END, text FROM documents "
         "WHERE doc_id % 40 = 0), "
         "t AS (SELECT doc_id, text, "
         "string_split_regex(trim(lower(text)), '\\s+') AS tk "
@@ -1347,21 +1356,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_clusters": (
             # Independent algorithm: recursive reachability CTE + min
-            # label, vs the engine's large-star/small-star contraction.
-            "WITH RECURSIVE e AS ("
-            "SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
-            "WHERE doc_id % 10 < 3 "
-            "AND doc_id + 1 IN (SELECT doc_id FROM documents) "
-            "UNION ALL "
-            "SELECT doc_id, doc_id + 13 FROM documents "
-            "WHERE doc_id % 100 = 0 "
-            "AND doc_id + 13 IN (SELECT doc_id FROM documents)), "
-            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
-            "nodes AS (SELECT DISTINCT a AS n FROM sym), "
-            "reach(n, r) AS (SELECT n, n FROM nodes UNION "
-            "SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
-            "comp AS (SELECT n AS doc_id, min(r) AS cluster_id "
-            "FROM reach GROUP BY n), "
+            # label (_DUP_GRAPH_CTE), vs the engine's large-star/
+            # small-star contraction.
+            _DUP_GRAPH_CTE + ", "
             "sizes AS (SELECT cluster_id, count(*) AS cluster_size "
             "FROM comp GROUP BY cluster_id) "
             "SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size, "
@@ -1373,12 +1370,15 @@ def oracle_sql() -> dict[str, str]:
             # exactly: regex-split on whitespace after trim, bigram i =
             # words[i+1 : i+2] (clamped slice, so a 1-word doc yields one
             # short gram, not zero rows); fractions integerized e6.
-            r"WITH words AS (SELECT doc_id, "
-            r"regexp_split_to_array(trim(text), '\s+') AS w "
+            r"WITH words AS (SELECT doc_id, CASE WHEN "
+            r"len(regexp_split_to_array(trim(text), '\s+')) > 2000 "
+            "THEN error('doc exceeds the repetition-oracle "
+            "2000-word bound') ELSE "
+            r"regexp_split_to_array(trim(text), '\s+') END AS w "
             "FROM documents), "
             "grams AS (SELECT doc_id, "
             "array_to_string(w[r.i+1 : r.i+2], ' ') AS g "
-            "FROM words JOIN range(0, 200) r(i) "
+            "FROM words JOIN range(0, 2000) r(i) "
             "ON r.i < greatest(len(w) - 1, 1)), "
             "per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams "
             "GROUP BY 1, 2), "
@@ -1395,34 +1395,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM per_doc ORDER BY doc_id"
         ),
         "near_dup_drop": (
-            # Recursive-CTE components again; survivors = everything not
+            # _DUP_GRAPH_CTE components again; survivors = everything not
             # a non-minimum member of some component.
-            "WITH RECURSIVE e AS ("
-            "SELECT doc_id AS a, doc_id + 1 AS b FROM documents "
-            "WHERE doc_id % 10 < 3 "
-            "AND doc_id + 1 IN (SELECT doc_id FROM documents) "
-            "UNION ALL "
-            "SELECT doc_id, doc_id + 13 FROM documents "
-            "WHERE doc_id % 100 = 0 "
-            "AND doc_id + 13 IN (SELECT doc_id FROM documents)), "
-            "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
-            "nodes AS (SELECT DISTINCT a AS n FROM sym), "
-            "reach(n, r) AS (SELECT n, n FROM nodes UNION "
-            "SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
-            "comp AS (SELECT n AS doc_id, min(r) AS cluster_id "
-            "FROM reach GROUP BY n) "
+            _DUP_GRAPH_CTE + " "
             "SELECT d.doc_id, md5(d.text) AS text_md5 FROM documents d "
             "WHERE d.doc_id NOT IN "
             "(SELECT doc_id FROM comp WHERE doc_id <> cluster_id) "
             "ORDER BY d.doc_id"
         ),
         "span_dedup": (
-            # Same first-occurrence rule via window row_number; the range
-            # bound (200) clears the fixture max of ~111 words/doc.
+            # Same first-occurrence rule via window row_number; the
+            # range bound (200 spans = 2000 words) is guarded by a
+            # loud error() in the words CTE, never a silent cap.
             "WITH both_docs AS (SELECT doc_id, text FROM documents "
-            "UNION ALL SELECT doc_id + 100000, text FROM documents "
+            "UNION ALL SELECT doc_id + CASE WHEN "
+            "(SELECT max(doc_id) FROM documents) >= 100000 THEN "
+            "error('fixture doc_id exceeds the 1e5 injection "
+            "offset') ELSE 100000 END, text FROM documents "
             "WHERE doc_id % 5 = 0), "
-            "words AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "words AS (SELECT doc_id, CASE WHEN "
+            "len(string_split(text, ' ')) > 2000 THEN "
+            "error('doc exceeds the span-oracle 2000-word bound') "
+            "ELSE string_split(text, ' ') END AS w "
             "FROM both_docs), "
             "spans AS (SELECT doc_id, r.i AS span_idx, "
             "array_to_string(w[r.i*10+1 : r.i*10+10], ' ') AS span "
@@ -1519,8 +1513,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH injected AS ("
             "SELECT doc_id, text FROM documents "
             "UNION ALL "
-            "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
-            "WHERE doc_id % 10 = 0), "
+            "SELECT doc_id + CASE WHEN "
+            "(SELECT max(doc_id) FROM documents) >= 10000000 THEN "
+            "error('fixture doc_id exceeds the 1e7 injection "
+            "offset') ELSE 10000000 END AS doc_id, text "
+            "FROM documents WHERE doc_id % 10 = 0), "
             "grp AS (SELECT md5(text) AS h, count(*) AS n_docs, "
             "min(doc_id) AS keeper_id FROM injected GROUP BY 1) "
             "SELECT count(*) AS n_groups, "

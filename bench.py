@@ -45,27 +45,15 @@ def _media_slice(spark, kind: str, n: int):
     """n rows of REAL decodable media (weblib.mediagen payloads built
     executor-side from the row id alone — the on-cluster shape is an
     opaque parquet binary column; generation cost is tiny next to
-    decode)."""
-    import pandas as pd
-
+    decode). Uses the SAME mediagen.media_batches generator as the
+    driver queries, so the bench measures the shape the oracle checks."""
     from torspider_spark.operators import multimodal
-
-    def gen(it):
-        from torspider_spark.weblib import mediagen as mg
-        fn = {"image": mg.image_payload, "audio": mg.audio_payload,
-              "video": mg.video_payload}[kind]
-        for pdf in it:
-            yield pd.DataFrame({
-                "media_id": pdf["id"].astype("int64"),
-                "kind": kind,
-                "payload": pd.Series([fn(int(i)) for i in pdf["id"]],
-                                     dtype="object", index=pdf.index),
-                "mime": "application/octet-stream",
-                "source_url": None})
+    from torspider_spark.weblib import mediagen as mg
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return (spark.range(n).repartition(cpus)
-            .mapInPandas(gen, schema=multimodal.MEDIA))
+            .mapInPandas(mg.media_batches(kind, "id"),
+                         schema=multimodal.MEDIA))
 
 
 def bench_media(spark) -> dict[str, float]:

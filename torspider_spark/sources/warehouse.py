@@ -123,13 +123,20 @@ class Warehouse:
         return self._commit_files(name, _write, epoch, mode, meta)
 
     @staticmethod
+    def _peek(m: dict) -> int:
+        """The sequence the next commit would receive — the ONE expression
+        both _next_seq and peek_seq must share, or the peeked key could
+        drift from the assigned one (the key-reuse bug class the counter
+        exists to prevent). Falls back to the list length for manifests
+        written before the counter existed."""
+        return int(m.get("next_seq", len(m["snapshots"])))
+
+    @staticmethod
     def _next_seq(m: dict) -> int:
         """Monotone snapshot sequence, persisted in the manifest: deriving
         it from len(snapshots) breaks once expire_snapshots trims history
-        (a re-used sequence number collides with a still-referenced dir).
-        Falls back to the list length for manifests written before the
-        counter existed."""
-        seq = int(m.get("next_seq", len(m["snapshots"])))
+        (a re-used sequence number collides with a still-referenced dir)."""
+        seq = Warehouse._peek(m)
         m["next_seq"] = seq + 1
         return seq
 
@@ -145,7 +152,7 @@ class Warehouse:
         m = self.manifest(name)
         if m is None:
             return 0
-        return int(m.get("next_seq", len(m["snapshots"])))
+        return self._peek(m)
 
     def _commit_files(self, name: str, write_fn, epoch: int, mode: str,
                       meta: dict | None) -> dict:

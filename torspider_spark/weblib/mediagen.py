@@ -272,10 +272,12 @@ def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
 def image_payload(media_id: int) -> bytes:
     """id % 3: 0 -> PNG, 1 -> GIF, 2 -> baseline JPEG — same seed
     family, so the oracle checks all three real decoders against one
-    pixel-math expectation per id."""
+    pixel-math expectation per id. Only the selected codec runs (the
+    bench generates thousands of payloads per run; encoding all three
+    and discarding two tripled generator cost in the measured wall)."""
     luma = synth_luma(media_id)
-    return (encode_png(luma), encode_gif(luma),
-            encode_jpeg_flat(luma))[media_id % 3]
+    encoder = (encode_png, encode_gif, encode_jpeg_flat)[media_id % 3]
+    return encoder(luma)
 
 
 def video_payload(media_id: int) -> bytes:
@@ -296,3 +298,27 @@ def video_payload(media_id: int) -> bytes:
 
 def audio_payload(media_id: int) -> bytes:
     return encode_wav(synth_samples(media_id))
+
+
+def media_batches(kind: str, id_col: str):
+    """mapInPandas generator for a synthetic media table: payloads built
+    executor-side from the integer ``id_col`` alone (the on-cluster shape
+    is an opaque parquet binary column + typed metadata). Shared by the
+    driver queries and the bench so both exercise the identical frame
+    shape — schema is operators/multimodal.MEDIA."""
+    import pandas as pd
+
+    fn = {"image": image_payload, "audio": audio_payload,
+          "video": video_payload}[kind]
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "kind": kind,
+                "payload": pd.Series([fn(int(i)) for i in pdf[id_col]],
+                                     dtype="object", index=pdf.index),
+                "mime": "application/octet-stream",
+                "source_url": None})
+
+    return gen
