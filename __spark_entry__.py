@@ -696,6 +696,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "n_spans", "n_kept")
                 .orderBy("doc_id"))
 
+    def q_embed_quantize(spark, sf):  # training-data: int8 quantization
+        q = similarity.quantize_embeddings(_t(spark, sf, "embeddings"))
+        # Per-row reduction of the q8 array (sum/min/max) + e6 scale:
+        # any per-element rounding or scale drift moves q_sum, and the
+        # min/max pin the [-127, 127] envelope.
+        return (q.select(
+            "vec_id",
+            F.floor(F.col("scale") * 1000000 + F.lit(0.5)).cast("long")
+            .alias("scale_e6"),
+            F.aggregate("q8", F.lit(0), lambda a, x: a + x).cast("long")
+            .alias("q_sum"),
+            F.array_min("q8").cast("long").alias("q_min"),
+            F.array_max("q8").cast("long").alias("q_max"))
+            .orderBy("vec_id"))
+
     def q_ann_cosine(spark, sf):  # training-data: brute-force cosine top-k
         emb = _t(spark, sf, "embeddings")
         query_vec = [float(x) for x in
@@ -940,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
+        "embed_quantize": q_embed_quantize,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "media_real_decode": q_media_real_decode,
@@ -1393,6 +1409,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(top_count*1.0/n_grams * 1000000 + 0.5) AS BIGINT) "
             "AS top_frac_e6 "
             "FROM per_doc ORDER BY doc_id"
+        ),
+        "embed_quantize": (
+            # Identical IEEE double expression both sides: float32
+            # elements promote exactly to double, 127.0/amax and
+            # floor(x*scale + 0.5) are exactly-rounded ops.
+            "WITH a AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x))) AS amax "
+            "FROM embeddings), "
+            # CAST: a bare 127.0/amax is computed in FLOAT by DuckDB
+            # (decimal literal demotes to the float operand); Spark does
+            # the division in DOUBLE.
+            "s AS (SELECT vec_id, CASE WHEN amax > 0 "
+            "THEN CAST(127.0 AS DOUBLE) / CAST(amax AS DOUBLE) "
+            "ELSE 0.0 END AS scale, embedding FROM a), "
+            "q AS (SELECT vec_id, scale, "
+            "list_transform(embedding, "
+            "x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q8 FROM s) "
+            "SELECT vec_id, "
+            "CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6, "
+            "CAST(list_sum(q8) AS BIGINT) AS q_sum, "
+            "CAST(list_min(q8) AS BIGINT) AS q_min, "
+            "CAST(list_max(q8) AS BIGINT) AS q_max "
+            "FROM q ORDER BY vec_id"
         ),
         "near_dup_drop": (
             # _DUP_GRAPH_CTE components again; survivors = everything not

@@ -395,3 +395,21 @@ def test_repetition_scores_hand_computed(spark):
     assert (got[1].n_grams, got[1].n_distinct, got[1].top_count) == (3, 3, 1)
     assert got[1].dup_frac_e6 == 0
     assert (got[2].n_grams, got[2].n_distinct) == (1, 1)
+
+
+def test_quantize_embeddings_envelope_and_reconstruction(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: r for r in
+            similarity.quantize_embeddings(emb).collect()}
+    src = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert rows.keys() == src.keys()
+    for vid, r in rows.items():
+        assert all(-127 <= v <= 127 for v in r.q8)
+        if r.scale == 0:
+            assert all(v == 0.0 for v in src[vid])
+            continue
+        # the max-|x| element quantizes to exactly +/-127, and every
+        # dequantized element is within the half-step bound
+        assert max(abs(v) for v in r.q8) == 127
+        for x, q in zip(src[vid], r.q8):
+            assert abs(x - q / r.scale) <= 0.5 / r.scale + 1e-12

@@ -164,3 +164,27 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe = [ci for _s, ci in sorted(scored, reverse=True)[:n_probe]]
     probed = assigned.filter(F.col("_centroid").isin(probe))
     return brute_force_topk(probed, query_vec, k, vec_col, id_col)
+
+
+def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x storage
+    cut for embedding columns at corpus scale: scale = 127/max|x| (0 for
+    an all-zero vector), q8[i] = floor(x*scale + 0.5) in [-127, 127].
+    Dequantization is q8/scale with absolute error <= 0.5/scale.
+
+    Everything is codegen'd array expressions — one narrow projection,
+    no shuffle, no UDF — so it composes with any downstream op (the
+    bucket joins in lsh_topk / near_duplicates_by_cosine work unchanged
+    on dequantized vectors). floor(x + 0.5) instead of round() so the
+    SQL oracle mirrors the identical IEEE double expression.
+    """
+    amax = F.array_max(F.transform(F.col(vec_col), F.abs))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        q8.alias("q8"))
