@@ -696,6 +696,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "n_spans", "n_kept")
                 .orderBy("doc_id"))
 
+    def q_stratified_sample(spark, sf):  # training-data: mix rebalancing
+        """Deterministic per-language downsampling (en 50%, de 25%, rest
+        10%) — membership is a pure function of md5(doc_id), so the kept
+        set is identical across partitionings, resumes, and N vs 4N
+        clusters, and DuckDB replays it bit-for-bit from the same
+        15-hex-digit threshold literals (operators/sampling.py)."""
+        from torspider_spark.operators import sampling
+        kept = sampling.stratified_sample(
+            _t(spark, sf, "documents"), {"en": 0.5, "de": 0.25},
+            strata_col="lang", default_fraction=0.1)
+        return (kept.groupBy("lang")
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("doc_id").cast("long").alias("sum_ids"))
+                .orderBy("lang"))
+
+    def q_shard_assign(spark, sf):  # training-data: stable output shards
+        """Stable shard routing (8 shards over md5 high bits): per-shard
+        doc count + doc_id/char sums pin every row's routing — one doc in
+        the wrong shard moves two sums."""
+        from torspider_spark.operators import sampling
+        sharded = sampling.assign_shards(
+            _t(spark, sf, "documents"), n_shards=8)
+        return (sharded.groupBy("shard_id")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("doc_id").cast("long").alias("sum_ids"),
+                     F.sum("n_chars").cast("long").alias("sum_chars"))
+                .orderBy("shard_id"))
+
+    def q_pack_sequences(spark, sf):  # training-data: concat-and-chunk
+        """Sequence packing at seq_len=512 over the hash-ordered corpus.
+        The Spark side computes the global token offset with the scalable
+        two-phase prefix sum (256 hash-prefix buckets + broadcast offset
+        table); the oracle uses the naive single global window — equality
+        proves the decomposition is exact, per doc."""
+        from torspider_spark.operators import sampling
+        packed = sampling.pack_sequences(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            seq_len=512)
+        return (packed.select("doc_id", "n_tokens", "seq_start",
+                              "first_chunk", "n_chunks")
+                .orderBy("doc_id"))
+
     def q_embed_quantize(spark, sf):  # training-data: int8 quantization
         q = similarity.quantize_embeddings(_t(spark, sf, "embeddings"))
         # Per-row reduction of the q8 array (sum/min/max) + e6 scale:
@@ -956,6 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
         "embed_quantize": q_embed_quantize,
+        "stratified_sample": q_stratified_sample,
+        "shard_assign": q_shard_assign,
+        "pack_sequences": q_pack_sequences,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "media_real_decode": q_media_real_decode,
@@ -1126,6 +1171,10 @@ def _near_dup_cosine_oracle(dim: int = 64, n_planes: int = 6,
 
 
 def oracle_sql() -> dict[str, str]:
+    # Sampling thresholds come from the SAME helper the Spark operators
+    # use, so the two sides cannot drift (operators/sampling.py).
+    from torspider_spark.operators.sampling import threshold_hex
+    thr_en, thr_de, thr_rest = (threshold_hex(f) for f in (0.5, 0.25, 0.1))
     return {
         "count_tables": "SELECT count(*) AS n_lineitem FROM lineitem",
         "filter_ne": (
@@ -1432,6 +1481,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_min(q8) AS BIGINT) AS q_min, "
             "CAST(list_max(q8) AS BIGINT) AS q_max "
             "FROM q ORDER BY vec_id"
+        ),
+        "stratified_sample": (
+            # Keep-decision replay: 15 leading hex digits of
+            # md5(doc_id || ':') vs the per-language threshold literal —
+            # equal-length hex strings compare lexicographically ==
+            # numerically, so membership is bit-exact on both engines.
+            "SELECT lang, count(*) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15) < "
+            f"CASE lang WHEN 'en' THEN '{thr_en}' "
+            f"WHEN 'de' THEN '{thr_de}' ELSE '{thr_rest}' END "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "shard_assign": (
+            # 8 hex digits < 2^32: the '0x'-cast is a non-negative BIGINT
+            # on both engines, so % 8 agrees without pmod games.
+            "SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'), "
+            "1, 8))::BIGINT % 8) AS shard_id, "
+            "count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1 ORDER BY shard_id"
+        ),
+        "pack_sequences": (
+            # The oracle is the NAIVE form — one global window cumsum
+            # over hash order; the Spark side's two-phase bucketed
+            # prefix sum must reproduce it exactly, per doc.
+            "WITH t AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':') AS h, "
+            "len(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+            "AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY h, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS seq_start "
+            "FROM t) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "seq_start, CAST(seq_start // 512 AS BIGINT) AS first_chunk, "
+            "CAST(((seq_start + n_tokens - 1) // 512) - (seq_start // 512) "
+            "+ 1 AS BIGINT) AS n_chunks FROM c ORDER BY doc_id"
         ),
         "near_dup_drop": (
             # _DUP_GRAPH_CTE components again; survivors = everything not

@@ -1,0 +1,156 @@
+"""Deterministic corpus sampling, shard assignment, and sequence packing.
+
+The last mile of a training-data pipeline after curation (quality gate ->
+dedup -> language mix, see the curation_pipeline driver query): choose a
+reproducible subset (global and per-stratum rates), route every kept doc to
+a stable output shard, and lay docs end-to-end into fixed-length token
+sequences (the concat-and-chunk packing step before tokenizer sharding).
+
+Every decision here is a pure function of ``md5(key || ':' || salt)`` —
+no RNG state, no ``rand()``:
+
+- **Reproducible across runs, partitionings, and cluster sizes.** The
+  sample/shard decision is a row-local projection, so the N- and
+  4N-executor runs of the scaling criterion keep byte-identical subsets.
+- **Zero shuffle for the decision itself.** Sampling is a pushable filter,
+  sharding a projected column; only downstream aggregation shuffles.
+- **Exactly replayable in ANSI SQL.** Both engines lowercase-hex md5, and
+  equal-length hex strings compare lexicographically == numerically, so the
+  DuckDB oracle reproduces the subset bit-for-bit (no float thresholds).
+
+Packing uses the scalable two-phase prefix sum: per-bucket window cumsum
+(bucket = leading hex digits of the order hash, so bucket order == global
+hash order) plus a broadcast of the tiny per-bucket offset table — never a
+single-partition global window over the corpus.
+
+Reference scope note: TorSpider itself stops at dedup'd URL/page tables;
+these operators cover the downstream export a 100-TB corpus consumer runs
+on the crawl output (SURVEY.md §2 training-data addendum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX15 = 16 ** 15  # 15 hex digits < 2^63: threshold math stays in int64
+
+
+def threshold_hex(fraction: float) -> str:
+    """fraction in [0, 1] -> 15-hex-digit keep threshold. Shared by the
+    Spark operators and the DuckDB oracle strings so the two sides can
+    never drift."""
+    f = min(max(fraction, 0.0), 1.0)
+    return format(min(int(f * _HEX15), _HEX15 - 1), "015x")
+
+
+def hash_hex_col(key_col, salt: str = ""):
+    """The decision hash: md5 of the stringified key + ':' + salt.
+    Distinct salts give independent subsets off the same key."""
+    return F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt)))
+
+
+def keep_col(key_col, fraction: float, salt: str = ""):
+    """Boolean keep-decision column: first 15 hex digits of the decision
+    hash below the fraction threshold. Uniform because md5 is; exact
+    string comparison, so Spark and any SQL engine agree bitwise."""
+    if fraction <= 0.0:
+        return F.lit(False)
+    if fraction >= 1.0:
+        return F.lit(True)
+    return (F.substring(hash_hex_col(key_col, salt), 1, 15)
+            < F.lit(threshold_hex(fraction)))
+
+
+def hash_sample(docs: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep ~fraction of rows, chosen by
+    key hash. Unlike df.sample(), membership is a property of the ROW, so
+    it is stable under repartitioning, resume, and cluster resize, and a
+    doc's fate can be audited after the fact."""
+    return docs.filter(keep_col(F.col(key_col), fraction, salt))
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "lang",
+                      default_fraction: float = 0.0,
+                      key_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling — the language/source mix
+    rebalancing step of a pretraining pipeline. ``fractions`` maps stratum
+    value -> keep rate; unlisted strata get ``default_fraction``. One
+    when-cascade over row-local hashes: still a pushable filter."""
+    key = F.col(key_col)
+    decision = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        kept = keep_col(key, frac, salt)
+        decision = (F.when(cond, kept) if decision is None
+                    else decision.when(cond, kept))
+    if decision is None:
+        return hash_sample(docs, default_fraction, key_col, salt)
+    return docs.filter(
+        decision.otherwise(keep_col(key, default_fraction, salt)))
+
+
+def assign_shards(docs: DataFrame, n_shards: int = 1024,
+                  key_col: str = "doc_id", salt: str = "",
+                  shard_col: str = "shard_id") -> DataFrame:
+    """Stable output-shard routing: shard = int(first 8 hex digits of the
+    decision hash) mod n_shards. 8 hex digits < 2^32, so the conv result
+    is a non-negative long on both engines and ``%`` agrees. Rows for one
+    shard can then be written with partitionBy(shard_col) — a doc lands in
+    the same shard no matter when or where it is (re)processed."""
+    bucket = F.conv(F.substring(hash_hex_col(F.col(key_col), salt), 1, 8),
+                    16, 10).cast("long")
+    return docs.withColumn(shard_col, bucket % F.lit(n_shards))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   text_col: str = "text", key_col: str = "doc_id",
+                   bucket_hex_digits: int = 2, salt: str = "") -> DataFrame:
+    """Concat-and-chunk sequence packing: order the corpus by decision
+    hash (a deterministic global shuffle), lay token counts end to end,
+    and report where each doc lands in the fixed-``seq_len`` chunk grid.
+
+    Output columns: key, n_tokens (whitespace tokens, same convention as
+    quality.token_count), seq_start (global token offset, exclusive prefix
+    sum), first_chunk / n_chunks (the chunk span the doc occupies).
+
+    100-TB shape: a naive ``Window.orderBy(hash)`` cumsum is a single
+    ordered partition over the whole corpus — the classic driver-shaped
+    bottleneck. Instead, phase 1 does the cumsum *within* hash-prefix
+    buckets (``bucket_hex_digits`` leading hex chars — 256 buckets by
+    default — each a normal shuffled window partition), and phase 2
+    prefix-sums the 256-row per-bucket totals (trivial single-partition
+    window over a tiny frame) and broadcast-joins the offsets back. The
+    bucket is a PREFIX of the order hash, so (bucket, hash) order ==
+    global hash order and the two-phase sum equals the global cumsum
+    exactly."""
+    h = hash_hex_col(F.col(key_col), salt)
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    d = (docs.select(key_col,
+                     h.alias("_h"),
+                     F.substring(h, 1, bucket_hex_digits).alias("_bucket"),
+                     toks.cast("long").alias("n_tokens")))
+
+    intra = Window.partitionBy("_bucket").orderBy("_h", key_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    d = d.withColumn("_intra", F.coalesce(F.sum("n_tokens").over(intra),
+                                          F.lit(0)))
+
+    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
+    prior = Window.orderBy("_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(prior), F.lit(0)).alias("_boff"))
+
+    seq_start = (F.col("_boff") + F.col("_intra")).alias("seq_start")
+    first_chunk = F.floor(F.col("seq_start") / seq_len).cast("long")
+    last_chunk = F.floor(
+        (F.col("seq_start") + F.col("n_tokens") - 1) / seq_len).cast("long")
+    return (d.join(F.broadcast(offsets), "_bucket")
+            .select(key_col, "n_tokens", seq_start)
+            .withColumn("first_chunk", first_chunk)
+            .withColumn("n_chunks", last_chunk - F.col("first_chunk") + 1))
