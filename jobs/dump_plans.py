@@ -188,6 +188,25 @@ def main() -> None:
             explain_str(_gd._canonical(_gd._large_star(
                 _gd._canonical(pairs))))))
 
+        packed = entry_mod.queries()["pack_sequences"](spark, sf_dir)
+        sections.append((
+            "training-data — pack_sequences two-phase prefix sum (watch: "
+            "the per-doc Window partitions on _bucket — a NORMAL shuffled "
+            "window, never 'No Partition Defined' over the corpus; the "
+            "only unpartitioned Window is over the 256-row bucket-totals "
+            "aggregate; offsets rejoin via BroadcastHashJoin; both "
+            "branches read the SAME localCheckpointed 4-column narrow "
+            "frame — Scan ExistingRDD twice, so the text column is "
+            "scanned+tokenized once, not once per branch)",
+            explain_str(packed)))
+
+        strat = entry_mod.queries()["stratified_sample"](spark, sf_dir)
+        sections.append((
+            "training-data — stratified_sample (watch: the md5-threshold "
+            "keep decision is a row-local Filter fused into the scan's "
+            "codegen stage — zero Exchange before it; only the per-lang "
+            "aggregate shuffles)", explain_str(strat)))
+
     out = ["# BENCH/PLANS — physical plans of the epoch pipeline",
            "",
            "Generated by jobs/dump_plans.py on the tiny corpus; the same",

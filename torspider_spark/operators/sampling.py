@@ -108,7 +108,8 @@ def assign_shards(docs: DataFrame, n_shards: int = 1024,
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                    text_col: str = "text", key_col: str = "doc_id",
-                   bucket_hex_digits: int = 2, salt: str = "") -> DataFrame:
+                   bucket_hex_digits: int = 2, salt: str = "",
+                   materialize: bool = True) -> DataFrame:
     """Concat-and-chunk sequence packing: order the corpus by decision
     hash (a deterministic global shuffle), lay token counts end to end,
     and report where each doc lands in the fixed-``seq_len`` chunk grid.
@@ -126,13 +127,21 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     window over a tiny frame) and broadcast-joins the offsets back. The
     bucket is a PREFIX of the order hash, so (bucket, hash) order ==
     global hash order and the two-phase sum equals the global cumsum
-    exactly."""
+    exactly.
+
+    Both phases consume the same narrow (key, hash, bucket, n_tokens)
+    projection; with ``materialize`` (default, the graphdedup pattern)
+    that frame is localCheckpointed so the text column is scanned and
+    tokenized ONCE — without it Catalyst plans two full reads of the
+    corpus, one per branch (visible in BENCH/PLANS.md)."""
     h = hash_hex_col(F.col(key_col), salt)
     toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     d = (docs.select(key_col,
                      h.alias("_h"),
                      F.substring(h, 1, bucket_hex_digits).alias("_bucket"),
                      toks.cast("long").alias("n_tokens")))
+    if materialize:
+        d = d.localCheckpoint(eager=False)
 
     intra = Window.partitionBy("_bucket").orderBy("_h", key_col) \
         .rowsBetween(Window.unboundedPreceding, -1)
