@@ -696,6 +696,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "n_spans", "n_kept")
                 .orderBy("doc_id"))
 
+    def q_decontaminate(spark, sf):  # training-data: eval decontamination
+        """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+        eval suite; the corpus is everything else PLUS injected leaks
+        (each benchmark text behind a 7-word preamble at doc_id + 2e5),
+        so the 13-gram flag demonstrably fires at any sf. Doc-level
+        output (distinct-shingle hit count + flag) pins every decision;
+        the oracle rebuilds the exact shingle universe in SQL."""
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        leaks = bench.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.lit("leak preamble text then verbatim eval "
+                           "material "), F.col("text")).alias("text"))
+        corpus = docs.filter(F.col("doc_id") % 50 != 0).unionByName(leaks)
+        out = textdedup.decontaminate(corpus, bench, shingle_n=13)
+        return (out.select("doc_id",
+                           F.col("n_contaminated").cast("long")
+                           .alias("n_contaminated"),
+                           F.col("contaminated").cast("int")
+                           .alias("contaminated"))
+                .orderBy("doc_id"))
+
     def q_stratified_sample(spark, sf):  # training-data: mix rebalancing
         """Deterministic per-language downsampling (en 50%, de 25%, rest
         10%) — membership is a pure function of md5(doc_id), so the kept
@@ -998,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
         "embed_quantize": q_embed_quantize,
+        "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
         "pack_sequences": q_pack_sequences,
@@ -1481,6 +1504,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_min(q8) AS BIGINT) AS q_min, "
             "CAST(list_max(q8) AS BIGINT) AS q_max "
             "FROM q ORDER BY vec_id"
+        ),
+        "decontaminate": (
+            # Mirrors word_shingles at n=13 (trimmed whitespace split,
+            # greatest(len-12, 1) starts, end-clamped slices, distinct
+            # per doc); benchmark shingles distinct'd across the suite.
+            "WITH bench AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 50 = 0), "
+            "corpus AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 50 <> 0 "
+            "UNION ALL SELECT doc_id + CASE WHEN "
+            "(SELECT max(doc_id) FROM documents) >= 200000 THEN "
+            "error('fixture doc_id exceeds the 2e5 injection offset') "
+            "ELSE 200000 END, "
+            "'leak preamble text then verbatim eval material ' || text "
+            "FROM bench), "
+            "bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w "
+            "FROM bench), "
+            "bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(w) - 12, 1)), "
+            "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
+            "))) AS sh FROM bw), "
+            "cw AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS w FROM corpus), "
+            "csh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(w) - 12, 1)), "
+            "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
+            "))) AS sh FROM cw), "
+            "hits AS (SELECT doc_id, count(*) AS n FROM csh "
+            "JOIN bsh USING (sh) GROUP BY doc_id) "
+            "SELECT c.doc_id, CAST(coalesce(n, 0) AS BIGINT) "
+            "AS n_contaminated, "
+            "CAST(coalesce(n, 0) > 0 AS INTEGER) AS contaminated "
+            "FROM corpus c LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
         ),
         "stratified_sample": (
             # Keep-decision replay: 15 leading hex digits of

@@ -413,3 +413,41 @@ def test_quantize_embeddings_envelope_and_reconstruction(spark):
         assert max(abs(v) for v in r.q8) == 127
         for x, q in zip(src[vid], r.q8):
             assert abs(x - q / r.scale) <= 0.5 / r.scale + 1e-12
+
+
+def test_decontaminate_flags_13gram_leaks(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu nu")],      # exactly 13 words
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 13-gram behind a preamble
+            (1, "prefix words then alpha beta gamma delta epsilon zeta "
+                "eta theta iota kappa lambda mu nu trailing"),
+            (2, "totally unrelated text with thirteen completely "
+                "different words here to fill space now"),
+            # only the first 12 of the benchmark's 13 words
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu"),
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_contaminated, r.contaminated)
+           for r in textdedup.decontaminate(corpus, bench).collect()}
+    assert out[1][1] and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_short_doc_matches_only_verbatim(spark):
+    """Docs under shingle_n words collapse to one whole-text shingle, so
+    a short benchmark doc flags exact copies and nothing else."""
+    bench = spark.createDataFrame([(5, "short eval prompt")],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "short eval prompt"),
+         (2, "short eval prompt with extra words")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.contaminated
+           for r in textdedup.decontaminate(corpus, bench).collect()}
+    assert out == {1: True, 2: False}

@@ -350,3 +350,46 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
                      " ").alias("clean_text"),
                  F.count("*").cast("long").alias("n_spans"),
                  F.sum(F.col("kept").cast("long")).alias("n_kept")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that shares
+    at least one exact ``shingle_n``-gram (13 words is the conventional
+    window) with any document in ``benchmark`` — the standard guard
+    against eval material leaking into a pretraining corpus.
+
+    Output: the input rows plus ``n_contaminated`` (count of DISTINCT
+    benchmark shingles the doc contains) and a ``contaminated`` flag; a
+    clean pipeline then filters ``~contaminated`` (or audits the counts
+    first — that is why this returns counts rather than a bare semi-join).
+
+    Scale shape: benchmark suites are tiny next to a 100-TB corpus, so
+    the benchmark shingle set (distinct'd first — suite-internal
+    repetition costs nothing) broadcasts into the corpus-side shingle
+    stream: the corpus is never shuffled, only its matching (doc_id,
+    shingle) rows reach the count aggregate, and the final flag join is
+    hits-sized — left to AQE, which broadcasts it in the normal case of
+    sparse contamination and falls back to a key join if a pathological
+    corpus matches everywhere. Docs shorter than
+    shingle_n words fall back to one whole-text shingle (word_shingles'
+    end-clamp), so a verbatim short benchmark doc still matches; a
+    shingle can never false-positive across that boundary because the
+    clamped shingle IS the full word sequence.
+    """
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
+        .alias("sh"))
+    bench_sh = (benchmark.select(
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
+        .alias("sh")).distinct())
+    hits = (doc_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated")))
+    return (docs.join(
+        hits.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("n_contaminated",
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_contaminated") > 0))
