@@ -696,6 +696,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "n_spans", "n_kept")
                 .orderBy("doc_id"))
 
+    def q_token_budget(spark, sf):  # training-data: budget-capped mixing
+        """Best-first selection under a 10k-token budget over the
+        quality-scored corpus. Ordering is by e6-integerized score (desc)
+        + doc_id, so no float comparison decides membership; the Spark
+        side prunes score-band buckets before the row window while the
+        oracle runs the naive global cumsum — per-row equality of
+        cum_before proves the pruned two-phase decomposition exact."""
+        from torspider_spark.operators import sampling
+        scored = quality.quality_score(_t(spark, sf, "documents"))
+        sel = sampling.select_token_budget(scored, token_budget=10000)
+        return sel.orderBy("doc_id")
+
     def q_decontaminate(spark, sf):  # training-data: eval decontamination
         """Benchmark decontamination: docs with doc_id % 50 == 0 play the
         eval suite; the corpus is everything else PLUS injected leaks
@@ -1020,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ann_cosine": q_ann_cosine,
         "embed_quantize": q_embed_quantize,
+        "token_budget_select": q_token_budget,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
@@ -1504,6 +1517,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_min(q8) AS BIGINT) AS q_min, "
             "CAST(list_max(q8) AS BIGINT) AS q_max "
             "FROM q ORDER BY vec_id"
+        ),
+        "token_budget_select": (
+            # Same 4-component score as _curation_oracle (identical IEEE
+            # doubles both sides), integerized e6 per row; then the NAIVE
+            # global window cumsum in (score_e6 desc, doc_id) order — the
+            # Spark side's bucket-pruned two-phase sum must match per row.
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+            "FROM documents), "
+            "feat AS (SELECT doc_id, length(text) AS nc, len(tk) AS nt, "
+            "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', "
+            "'', 'g')) AS np, "
+            "length(text) - length(regexp_replace(text, '[A-Z]', '', "
+            "'g')) AS nu FROM t), "
+            "scored AS (SELECT doc_id, nt, round(("
+            "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
+            "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
+            "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
+            "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
+            "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
+            "AS score FROM feat), "
+            "e AS (SELECT doc_id, "
+            "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, "
+            "CAST(nt AS BIGINT) AS n_tokens FROM scored), "
+            "c AS (SELECT doc_id, score_e6, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY score_e6 DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) "
+            "AS cum_before FROM e) "
+            "SELECT doc_id, score_e6, n_tokens, cum_before FROM c "
+            "WHERE cum_before < 10000 ORDER BY doc_id"
         ),
         "decontaminate": (
             # Mirrors word_shingles at n=13 (trimmed whitespace split,

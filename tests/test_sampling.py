@@ -120,3 +120,46 @@ def test_pack_sequences_is_gapless(docs):
     assert rows[-1].first_chunk + rows[-1].n_chunks - 1 \
         == (total - 1) // seq_len
     assert math.ceil(total / seq_len) == (total - 1) // seq_len + 1
+
+
+def test_select_token_budget_semantics(docs, spark):
+    """Kept set is exactly the minimal score-ordered prefix whose token
+    mass reaches the budget, and the bucket-pruned two-phase cum_before
+    equals the naive global definition."""
+    from torspider_spark.operators import quality
+
+    budget = 700
+    scored = quality.quality_score(docs)
+    kept = sampling.select_token_budget(scored, budget).collect()
+
+    score_e6 = F.floor(F.col("quality_score") * 1000000 + 0.5).cast("long")
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    all_rows = (scored.select("doc_id", score_e6.alias("score_e6"),
+                              toks.cast("long").alias("n_tokens"))
+                .collect())
+    order = sorted(all_rows, key=lambda r: (-r.score_e6, r.doc_id))
+
+    # naive exclusive prefix sums
+    expect = {}
+    pos = 0
+    for r in order:
+        if pos < budget:
+            expect[r.doc_id] = (r.score_e6, r.n_tokens, pos)
+        pos += r.n_tokens
+
+    assert {r.doc_id: (r.score_e6, r.n_tokens, r.cum_before)
+            for r in kept} == expect
+    total_kept = sum(v[1] for v in expect.values())
+    assert total_kept >= min(budget, pos)          # budget filled
+    # minimality: dropping the LAST kept doc goes under budget
+    last = max(kept, key=lambda r: r.cum_before)
+    assert total_kept - last.n_tokens < budget
+
+
+def test_select_token_budget_zero_and_huge(docs, spark):
+    from torspider_spark.operators import quality
+
+    scored = quality.quality_score(docs)
+    assert sampling.select_token_budget(scored, 0).count() == 0
+    assert sampling.select_token_budget(scored, 10**12).count() \
+        == docs.count()

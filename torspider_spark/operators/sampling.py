@@ -163,3 +163,56 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
             .select(key_col, "n_tokens", seq_start)
             .withColumn("first_chunk", first_chunk)
             .withColumn("n_chunks", last_chunk - F.col("first_chunk") + 1))
+
+
+def select_token_budget(docs: DataFrame, token_budget: int,
+                        score_col: str = "quality_score",
+                        text_col: str = "text", key_col: str = "doc_id",
+                        score_buckets: int = 1024) -> DataFrame:
+    """Best-first selection under a token budget: order the corpus by
+    quality (descending) and keep documents until ``token_budget`` tokens
+    are filled — the data-mixing step that turns "score everything" into
+    "this is the training set".
+
+    Ordering is by the e6-INTEGERIZED score (floor(score*1e6 + 0.5), the
+    same discipline the curation oracles use) with the key as tie-break,
+    so it is total and engine-independent — no float comparison decides a
+    row's fate. A row is kept iff the tokens strictly before it are under
+    budget (exclusive prefix), so the boundary document is included:
+    output token mass is the smallest prefix >= budget.
+
+    Scale shape: same two-phase prefix sum as pack_sequences, but bucketed
+    by inverted score band (monotone in the order key, so (bucket asc,
+    score desc, key) == global score-desc order), with one extra trick the
+    packing case can't use — per-bucket totals are known BEFORE any
+    row-level work, so every bucket whose global offset already exceeds
+    the budget is pruned before the window: the row-level sort only ever
+    touches roughly budget-many tokens of rows, however large the scored
+    corpus is. Output: key, score_e6, n_tokens, cum_before (kept rows
+    only)."""
+    score_e6 = F.floor(F.col(score_col) * 1000000 + F.lit(0.5)).cast("long")
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    band = F.floor(score_e6 * score_buckets / 1000001).cast("int")
+    d = docs.select(key_col,
+                    score_e6.alias("score_e6"),
+                    (F.lit(score_buckets - 1) - band).alias("_bucket"),
+                    toks.cast("long").alias("n_tokens"))
+    d = d.localCheckpoint(eager=False)
+
+    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
+    prior = Window.orderBy("_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(prior), F.lit(0)).alias("_boff"))
+        .filter(F.col("_boff") < token_budget))   # bucket-level pruning
+
+    intra = Window.partitionBy("_bucket") \
+        .orderBy(F.col("score_e6").desc(), key_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (d.join(F.broadcast(offsets), "_bucket")
+            .withColumn("cum_before",
+                        F.col("_boff") + F.coalesce(
+                            F.sum("n_tokens").over(intra), F.lit(0)))
+            .filter(F.col("cum_before") < token_budget)
+            .select(key_col, "score_e6", "n_tokens", "cum_before"))
