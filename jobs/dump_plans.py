@@ -207,6 +207,25 @@ def main() -> None:
             "codegen stage — zero Exchange before it; only the per-lang "
             "aggregate shuffles)", explain_str(strat)))
 
+        tb = entry_mod.queries()["token_budget_select"](spark, sf_dir)
+        sections.append((
+            "training-data — token_budget_select (watch: the offsets "
+            "branch carries a Filter (_boff < budget) BEFORE the "
+            "BroadcastExchange, so whole score-band buckets past the "
+            "budget never reach the row-level Window — the inner join "
+            "on _bucket drops their rows at the scan side; the row "
+            "Window partitions on _bucket, never unpartitioned over "
+            "the corpus)", explain_str(tb)))
+
+        dec = entry_mod.queries()["decontaminate"](spark, sf_dir)
+        sections.append((
+            "training-data — decontaminate (watch: the benchmark shingle "
+            "set distincts THEN BroadcastExchanges into the corpus "
+            "shingle stream — the corpus side never shuffles for the "
+            "match; the hits aggregate shuffles only matching (doc_id, "
+            "shingle) rows; the final flag join is left to AQE)",
+            explain_str(dec)))
+
     out = ["# BENCH/PLANS — physical plans of the epoch pipeline",
            "",
            "Generated by jobs/dump_plans.py on the tiny corpus; the same",

@@ -163,3 +163,28 @@ def test_select_token_budget_zero_and_huge(docs, spark):
     assert sampling.select_token_budget(scored, 0).count() == 0
     assert sampling.select_token_budget(scored, 10**12).count() \
         == docs.count()
+
+
+def test_threshold_hex_monotone_hypothesis():
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(min_value=0.0, max_value=1.0),
+           st.floats(min_value=0.0, max_value=1.0))
+    def check(f1, f2):
+        t1, t2 = sampling.threshold_hex(f1), sampling.threshold_hex(f2)
+        if f1 <= f2:
+            assert t1 <= t2
+        assert len(t1) == 15 and set(t1) <= set("0123456789abcdef")
+
+    check()
+
+
+def test_samples_are_nested_across_fractions(docs):
+    """md5-threshold sampling gives NESTED subsets: raising the fraction
+    only adds rows — the property that makes staged scale-ups (train on
+    10%, grow to 30%) reuse every already-processed doc."""
+    small = {r.doc_id for r in
+             sampling.hash_sample(docs, 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in
+           sampling.hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert small < big
