@@ -696,6 +696,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "n_spans", "n_kept")
                 .orderBy("doc_id"))
 
+    def q_export_pipeline(spark, sf):  # training-data: full export chain
+        """The complete post-curation export as ONE lazy plan: quality
+        gate (>= 0.85) -> 13-gram decontamination vs the doc_id % 50 eval
+        slice -> stratified mix (en 50%, rest 25%) -> token-budget
+        best-first selection (3000 tokens — cuts at any sf >= 0.01).
+        Doc-level output pins every stage's row decisions at once; the
+        oracle rebuilds the identical chain in SQL from the same score
+        math, shingle universe, and threshold literals."""
+        from torspider_spark.operators import sampling
+        docs = _t(spark, sf, "documents")
+        scored = (quality.quality_score(docs)
+                  .filter(F.col("quality_score") >= 0.85))
+        bench = (docs.filter(F.col("doc_id") % 50 == 0)
+                 .select("doc_id", "text"))
+        corpus = scored.filter(F.col("doc_id") % 50 != 0)
+        clean = (textdedup.decontaminate(corpus, bench, shingle_n=13)
+                 .filter(~F.col("contaminated")))
+        mixed = sampling.stratified_sample(clean, {"en": 0.5},
+                                           strata_col="lang",
+                                           default_fraction=0.25)
+        sel = sampling.select_token_budget(mixed, token_budget=3000)
+        return sel.orderBy("doc_id")
+
     def q_token_budget(spark, sf):  # training-data: budget-capped mixing
         """Best-first selection under a 10k-token budget over the
         quality-scored corpus. Ordering is by e6-integerized score (desc)
@@ -1033,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "embed_quantize": q_embed_quantize,
         "token_budget_select": q_token_budget,
+        "export_pipeline": q_export_pipeline,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "shard_assign": q_shard_assign,
@@ -1175,6 +1199,66 @@ def _curation_oracle() -> str:
         "CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) "
         "AS BIGINT) AS sum_score_e6 "
         "FROM named GROUP BY 1 ORDER BY detected_lang")
+
+
+def _export_oracle() -> str:
+    """DuckDB mirror of q_export_pipeline — quality gate, 13-gram
+    decontamination against the doc_id % 50 eval slice, md5-threshold
+    stratified mix, and the naive global budget cumsum, chained exactly
+    as the Spark plan chains the operators. Same score math as
+    _curation_oracle, same shingle universe as the decontaminate oracle,
+    same threshold literals as stratified_sample."""
+    from torspider_spark.operators.sampling import threshold_hex
+    thr_en, thr_q = threshold_hex(0.5), threshold_hex(0.25)
+    return (
+        "WITH t AS (SELECT doc_id, text, lang, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS tk "
+        "FROM documents), "
+        "feat AS (SELECT doc_id, text, lang, length(text) AS nc, "
+        "len(tk) AS nt, "
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', "
+        "'g')) AS np, "
+        "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+        "AS nu FROM t), "
+        "scored AS (SELECT doc_id, text, lang, nt, round(("
+        "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
+        "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
+        "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
+        "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
+        "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
+        "AS score FROM feat), "
+        "good AS (SELECT * FROM scored WHERE score >= 0.85), "
+        "bench AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 50 = 0), "
+        "corpus AS (SELECT * FROM good WHERE doc_id % 50 <> 0), "
+        "bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w "
+        "FROM bench), "
+        "bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(w) - 12, 1)), "
+        "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
+        "))) AS sh FROM bw), "
+        "cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
+        "AS w FROM corpus), "
+        "csh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(w) - 12, 1)), "
+        "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
+        "))) AS sh FROM cw), "
+        "contaminated AS (SELECT DISTINCT doc_id FROM csh "
+        "JOIN bsh USING (sh)), "
+        "clean AS (SELECT c.* FROM corpus c LEFT JOIN contaminated x "
+        "USING (doc_id) WHERE x.doc_id IS NULL), "
+        "mixed AS (SELECT * FROM clean "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15) < "
+        f"CASE lang WHEN 'en' THEN '{thr_en}' ELSE '{thr_q}' END), "
+        "e AS (SELECT doc_id, "
+        "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, "
+        "CAST(nt AS BIGINT) AS n_tokens FROM mixed), "
+        "c AS (SELECT doc_id, score_e6, n_tokens, "
+        "CAST(sum(n_tokens) OVER (ORDER BY score_e6 DESC, doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before "
+        "FROM e) "
+        "SELECT doc_id, score_e6, n_tokens, cum_before FROM c "
+        "WHERE cum_before < 3000 ORDER BY doc_id")
 
 
 def _near_dup_cosine_oracle(dim: int = 64, n_planes: int = 6,
@@ -1518,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_max(q8) AS BIGINT) AS q_max "
             "FROM q ORDER BY vec_id"
         ),
+        "export_pipeline": _export_oracle(),
         "token_budget_select": (
             # Same 4-component score as _curation_oracle (identical IEEE
             # doubles both sides), integerized e6 per row; then the NAIVE
