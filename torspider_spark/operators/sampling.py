@@ -1,10 +1,12 @@
-"""Deterministic corpus sampling, shard assignment, and sequence packing.
+"""Deterministic sampling, shard routing, sequence packing, and
+token-budget selection.
 
 The last mile of a training-data pipeline after curation (quality gate ->
 dedup -> language mix, see the curation_pipeline driver query): choose a
 reproducible subset (global and per-stratum rates), route every kept doc to
-a stable output shard, and lay docs end-to-end into fixed-length token
-sequences (the concat-and-chunk packing step before tokenizer sharding).
+a stable output shard, lay docs end-to-end into fixed-length token
+sequences (the concat-and-chunk packing step before tokenizer sharding),
+and cap the mix at a token budget by quality (select_token_budget).
 
 Every decision here is a pure function of ``md5(key || ':' || salt)`` —
 no RNG state, no ``rand()``:
