@@ -20,7 +20,7 @@ HEADLINE = [
     "semi_join", "anti_join", "agg_rollup", "distinct_pairs",
     "dedup_exact", "doc_quality", "token_count", "fingerprint", "ann_cosine",
     "span_dedup", "dup_clusters", "repetition",
-    "stratified_sample", "pack_sequences",
+    "stratified_sample", "pack_sequences", "export_pipeline",
 ]
 
 CRAWL_EPOCHS = 5
