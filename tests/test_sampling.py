@@ -188,3 +188,33 @@ def test_samples_are_nested_across_fractions(docs):
     big = {r.doc_id for r in
            sampling.hash_sample(docs, 0.5).select("doc_id").collect()}
     assert small < big
+
+
+def test_pack_sequences_invariant_to_bucket_granularity(docs):
+    """1, 2, or 3 hash-prefix digits (16/256/4096 buckets) must all
+    yield the identical global layout — the decomposition is exact at
+    any granularity, so bucket count is purely a tuning knob."""
+    frames = [sampling.pack_sequences(docs.select("doc_id", "text"),
+                                      seq_len=96, bucket_hex_digits=k)
+              for k in (1, 2, 3)]
+    a, b, c = [{r.doc_id: (r.n_tokens, r.seq_start, r.first_chunk,
+                           r.n_chunks) for r in f.collect()}
+               for f in frames]
+    assert a == b == c
+
+
+def test_write_training_shards_roundtrip(docs, spark, tmp_path):
+    out = str(tmp_path / "shards")
+    sampling.write_training_shards(docs, out, n_shards=4)
+    back = spark.read.parquet(out)
+    expect = {(r.doc_id, r.shard_id) for r in
+              sampling.assign_shards(docs, 4)
+              .select("doc_id", "shard_id").collect()}
+    assert {(r.doc_id, r.shard_id) for r in
+            back.select("doc_id", "shard_id").collect()} == expect
+    # one directory per shard, each with exactly one data file
+    import glob
+    for k in range(4):
+        files = [f for f in glob.glob(f"{out}/shard_id={k}/*")
+                 if not f.endswith(("_SUCCESS", ".crc"))]
+        assert len(files) == 1, files

@@ -218,3 +218,23 @@ def select_token_budget(docs: DataFrame, token_budget: int,
                             F.sum("n_tokens").over(intra), F.lit(0)))
             .filter(F.col("cum_before") < token_budget)
             .select(key_col, "score_e6", "n_tokens", "cum_before"))
+
+
+def write_training_shards(docs: DataFrame, path: str, n_shards: int = 1024,
+                          key_col: str = "doc_id", salt: str = "",
+                          fmt: str = "parquet") -> None:
+    """Deterministic sharded export: route every row with assign_shards,
+    co-locate each shard with one repartition on the shard key, and write
+    ``partitionBy(shard_id)`` — one directory and (normally) one file per
+    shard, so a training loader can address shard K directly and a
+    re-export of any doc subset lands in the same directories.
+
+    The repartition is the operator's ONE shuffle and exists so each
+    shard is a single task's output (without it every task appends a
+    file to every shard directory — n_tasks x n_shards small files, the
+    classic partitionBy explosion). Size n_shards so a shard's rows fit
+    one task comfortably at the target corpus scale."""
+    sharded = assign_shards(docs, n_shards, key_col, salt)
+    (sharded.repartition(n_shards, "shard_id")
+     .write.mode("overwrite").partitionBy("shard_id")
+     .format(fmt).save(path))
