@@ -1136,6 +1136,29 @@ def _langid_oracle() -> str:
             "FROM h GROUP BY 1 ORDER BY detected_lang")
 
 
+def _qscore_sql() -> str:
+    """The 4-component quality-score expression over feat columns
+    (nc, nt, np, nu) — ONE definition for every oracle that mirrors
+    quality.quality_score (curation, export, token-budget), so the score
+    math can never drift between them."""
+    return ("round(("
+            "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
+            "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
+            "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
+            "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
+            "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6)")
+
+
+def _shingle_sql(w: str, n: int) -> str:
+    """DuckDB mirror of textdedup.word_shingles(col, n): distinct
+    end-clamped word n-grams over the pre-split array column ``w`` —
+    ONE definition for the jaccard, decontaminate, and export oracles."""
+    return ("unnest(list_distinct(list_transform("
+            f"generate_series(1, greatest(len({w}) - {n - 1}, 1)), "
+            f"i -> array_to_string({w}[i:least(i + {n - 1}, len({w}))], "
+            "' '))))")
+
+
 def _curation_oracle() -> str:
     """DuckDB mirror of q_curation_pipeline — the full training-data
     curation chain (quality gate -> exact dedup -> near-dup drop ->
@@ -1161,13 +1184,7 @@ def _curation_oracle() -> str:
         "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
         "AS nu FROM t), "
         # the same 4-component composite quality.quality_score builds
-        "scored AS (SELECT *, round(("
-        "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
-        "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
-        "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
-        "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
-        "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
-        "AS score FROM feat), "
+        f"scored AS (SELECT *, {_qscore_sql()} AS score FROM feat), "
         "good AS (SELECT *, md5(array_to_string(tk, ' ')) AS cmd5 "
         "FROM scored WHERE score >= 0.85), "
         "kept AS (SELECT * FROM good QUALIFY "
@@ -1176,10 +1193,7 @@ def _curation_oracle() -> str:
         # ngram_jaccard (trimmed, NOT lowercased words)
         "w AS (SELECT doc_id, "
         "string_split_regex(trim(text), '\\s+') AS words FROM kept), "
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-        "generate_series(1, greatest(len(words) - 2, 1)), "
-        "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
-        "))) AS sh FROM w), "
+        f"sh AS (SELECT doc_id, {_shingle_sql('words', 3)} AS sh FROM w), "
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh "
         "GROUP BY doc_id), "
         "co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common "
@@ -1220,12 +1234,7 @@ def _export_oracle() -> str:
         "'g')) AS np, "
         "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
         "AS nu FROM t), "
-        "scored AS (SELECT doc_id, text, lang, nt, round(("
-        "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
-        "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
-        "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
-        "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
-        "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
+        f"scored AS (SELECT doc_id, text, lang, nt, {_qscore_sql()} "
         "AS score FROM feat), "
         "good AS (SELECT * FROM scored WHERE score >= 0.85), "
         "bench AS (SELECT doc_id, text FROM documents "
@@ -1233,16 +1242,10 @@ def _export_oracle() -> str:
         "corpus AS (SELECT * FROM good WHERE doc_id % 50 <> 0), "
         "bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w "
         "FROM bench), "
-        "bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform("
-        "generate_series(1, greatest(len(w) - 12, 1)), "
-        "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
-        "))) AS sh FROM bw), "
+        f"bsh AS (SELECT DISTINCT {_shingle_sql('w', 13)} AS sh FROM bw), "
         "cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
         "AS w FROM corpus), "
-        "csh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-        "generate_series(1, greatest(len(w) - 12, 1)), "
-        "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
-        "))) AS sh FROM cw), "
+        f"csh AS (SELECT doc_id, {_shingle_sql('w', 13)} AS sh FROM cw), "
         "contaminated AS (SELECT DISTINCT doc_id FROM csh "
         "JOIN bsh USING (sh)), "
         "clean AS (SELECT c.* FROM corpus c LEFT JOIN contaminated x "
@@ -1398,10 +1401,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH w AS (SELECT doc_id, "
             "string_split_regex(trim(text), '\\s+') AS words "
             "FROM documents), "
-            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "generate_series(1, greatest(len(words) - 2, 1)), "
-            "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
-            "))) AS sh FROM w), "
+            f"sh AS (SELECT doc_id, {_shingle_sql('words', 3)} AS sh "
+            "FROM w), "
             "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh "
             "GROUP BY doc_id), "
             "co AS (SELECT x.doc_id AS a, y.doc_id AS b, "
@@ -1423,10 +1424,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH w AS (SELECT doc_id, "
             "string_split_regex(trim(text), '\\s+') AS words "
             "FROM documents), "
-            "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "generate_series(1, greatest(len(words) - 2, 1)), "
-            "i -> array_to_string(words[i:least(i + 2, len(words))], ' ')"
-            "))) AS sh FROM w), "
+            f"sh0 AS (SELECT doc_id, {_shingle_sql('words', 3)} AS sh "
+            "FROM w), "
             "d AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh), "
             "sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 "
             "JOIN d USING (sh) WHERE d.df <= 2), "
@@ -1616,12 +1615,7 @@ def oracle_sql() -> dict[str, str]:
             "'', 'g')) AS np, "
             "length(text) - length(regexp_replace(text, '[A-Z]', '', "
             "'g')) AS nu FROM t), "
-            "scored AS (SELECT doc_id, nt, round(("
-            "(CASE WHEN nc >= 50 AND nc <= 50000 THEN 1.0 ELSE 0.3 END) + "
-            "(CASE WHEN np / greatest(nc, 1) <= 0.1 THEN 1.0 ELSE 0.5 END) + "
-            "(CASE WHEN nu / greatest(nc, 1) <= 0.3 THEN 1.0 ELSE 0.5 END) + "
-            "(CASE WHEN nc / greatest(nt, 1) >= 3 AND "
-            "nc / greatest(nt, 1) <= 12 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) "
+            f"scored AS (SELECT doc_id, nt, {_qscore_sql()} "
             "AS score FROM feat), "
             "e AS (SELECT doc_id, "
             "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, "
@@ -1649,16 +1643,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM bench), "
             "bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w "
             "FROM bench), "
-            "bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform("
-            "generate_series(1, greatest(len(w) - 12, 1)), "
-            "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
-            "))) AS sh FROM bw), "
+            f"bsh AS (SELECT DISTINCT {_shingle_sql('w', 13)} AS sh "
+            "FROM bw), "
             "cw AS (SELECT doc_id, "
             "string_split_regex(trim(text), '\\s+') AS w FROM corpus), "
-            "csh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-            "generate_series(1, greatest(len(w) - 12, 1)), "
-            "i -> array_to_string(w[i:least(i + 12, len(w))], ' ')"
-            "))) AS sh FROM cw), "
+            f"csh AS (SELECT doc_id, {_shingle_sql('w', 13)} AS sh "
+            "FROM cw), "
             "hits AS (SELECT doc_id, count(*) AS n FROM csh "
             "JOIN bsh USING (sh) GROUP BY doc_id) "
             "SELECT c.doc_id, CAST(coalesce(n, 0) AS BIGINT) "

@@ -21,7 +21,10 @@ def docs(spark):
 
 def test_threshold_hex_envelope():
     assert sampling.threshold_hex(0.0) == "0" * 15
-    assert sampling.threshold_hex(1.0) == "f" * 15
+    # 'g' sorts after every hex digit: fraction 1.0 keeps ALL rows on
+    # both engines, including a (16^-15) all-f md5 prefix
+    assert sampling.threshold_hex(1.0) == "g" * 15
+    assert "f" * 15 < sampling.threshold_hex(1.0)
     assert sampling.threshold_hex(-3.0) == "0" * 15
     # 0.5 is exactly 8 followed by zeros in hex fixed-point
     assert sampling.threshold_hex(0.5) == "8" + "0" * 14
@@ -174,7 +177,7 @@ def test_threshold_hex_monotone_hypothesis():
         t1, t2 = sampling.threshold_hex(f1), sampling.threshold_hex(f2)
         if f1 <= f2:
             assert t1 <= t2
-        assert len(t1) == 15 and set(t1) <= set("0123456789abcdef")
+        assert len(t1) == 15 and set(t1) <= set("0123456789abcdefg")
 
     check()
 

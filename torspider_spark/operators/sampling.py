@@ -35,15 +35,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from torspider_spark.operators.quality import tokens_col
+
 _HEX15 = 16 ** 15  # 15 hex digits < 2^63: threshold math stays in int64
 
 
 def threshold_hex(fraction: float) -> str:
-    """fraction in [0, 1] -> 15-hex-digit keep threshold. Shared by the
+    """fraction in [0, 1] -> 15-character keep threshold. Shared by the
     Spark operators and the DuckDB oracle strings so the two sides can
-    never drift."""
-    f = min(max(fraction, 0.0), 1.0)
-    return format(min(int(f * _HEX15), _HEX15 - 1), "015x")
+    never drift. fraction >= 1.0 returns 'g'*15 — lexicographically after
+    every hex string, so `hash < threshold` keeps ALL rows, matching
+    keep_col's lit(True) shortcut (a capped 'f'*15 would drop the
+    16^-15-probability all-f prefix on the oracle side only)."""
+    if fraction >= 1.0:
+        return "g" * 15
+    f = max(fraction, 0.0)
+    return format(int(f * _HEX15), "015x")
+
+
+def _token_count_col(text_col: str):
+    """Whitespace token count — quality.tokens_col, the one tokenization
+    convention shared with token_count and every oracle."""
+    return F.size(tokens_col(F.col(text_col)))
+
+
+def _bucket_offsets(d: DataFrame):
+    """Phase 2 of the two-phase prefix sum: per-bucket token totals ->
+    exclusive running offsets, ordered by _bucket. The unpartitioned
+    window here is over the tiny bucket-totals frame (one row per
+    bucket), never the corpus."""
+    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
+    prior = Window.orderBy("_bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(prior), F.lit(0)).alias("_boff"))
 
 
 def hash_hex_col(key_col, salt: str = ""):
@@ -137,11 +163,11 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     tokenized ONCE — without it Catalyst plans two full reads of the
     corpus, one per branch (visible in BENCH/PLANS.md)."""
     h = hash_hex_col(F.col(key_col), salt)
-    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     d = (docs.select(key_col,
                      h.alias("_h"),
                      F.substring(h, 1, bucket_hex_digits).alias("_bucket"),
-                     toks.cast("long").alias("n_tokens")))
+                     _token_count_col(text_col).cast("long")
+                     .alias("n_tokens")))
     if materialize:
         d = d.localCheckpoint(eager=False)
 
@@ -150,12 +176,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     d = d.withColumn("_intra", F.coalesce(F.sum("n_tokens").over(intra),
                                           F.lit(0)))
 
-    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
-    prior = Window.orderBy("_bucket") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_btot").over(prior), F.lit(0)).alias("_boff"))
+    offsets = _bucket_offsets(d)
 
     seq_start = (F.col("_boff") + F.col("_intra")).alias("seq_start")
     first_chunk = F.floor(F.col("seq_start") / seq_len).cast("long")
@@ -193,21 +214,16 @@ def select_token_budget(docs: DataFrame, token_budget: int,
     corpus is. Output: key, score_e6, n_tokens, cum_before (kept rows
     only)."""
     score_e6 = F.floor(F.col(score_col) * 1000000 + F.lit(0.5)).cast("long")
-    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     band = F.floor(score_e6 * score_buckets / 1000001).cast("int")
     d = docs.select(key_col,
                     score_e6.alias("score_e6"),
                     (F.lit(score_buckets - 1) - band).alias("_bucket"),
-                    toks.cast("long").alias("n_tokens"))
+                    _token_count_col(text_col).cast("long")
+                    .alias("n_tokens"))
     d = d.localCheckpoint(eager=False)
 
-    totals = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btot"))
-    prior = Window.orderBy("_bucket") \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (totals.select(
-        "_bucket",
-        F.coalesce(F.sum("_btot").over(prior), F.lit(0)).alias("_boff"))
-        .filter(F.col("_boff") < token_budget))   # bucket-level pruning
+    offsets = _bucket_offsets(d) \
+        .filter(F.col("_boff") < token_budget)    # bucket-level pruning
 
     intra = Window.partitionBy("_bucket") \
         .orderBy(F.col("score_e6").desc(), key_col) \
