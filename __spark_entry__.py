@@ -407,6 +407,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shutil.rmtree(work, ignore_errors=True)
         return out
 
+    def q_streaming_dedup(spark, sf):  # 2.H — stateful dedup == DISTINCT
+        """The streaming URL-seen dedup pattern
+        (streaming/crawl_stream.py:57-58, state-store-backed
+        dropDuplicates) proven equal to batch DISTINCT under the driver
+        oracle. The events fixture is split into two parquet files by
+        event_id parity — nearly every user_id appears in BOTH — and
+        streamed one file per micro-batch (mtime-pinned order), so the
+        second batch's duplicates are suppressed ONLY if the state store
+        carries the seen-set across batches; a state bug would re-emit
+        them in append mode and break the row count. Output is the key
+        set alone, so the result is deterministic regardless of which
+        physical row wins a key."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        work = tempfile.mkdtemp(prefix="stream_dedup_")
+        src = os.path.join(work, "events")
+        os.makedirs(src)
+        tbl = pq.read_table(os.path.join(sf, "events.parquet"))
+        parity = pc.bit_wise_and(tbl["event_id"],
+                                 pa.scalar(1, pa.int64()))
+        for i, keep in enumerate((0, 1)):
+            part = tbl.filter(pc.equal(parity, pa.scalar(keep,
+                                                         pa.int64())))
+            pq.write_table(part, os.path.join(src, f"part-00{i}.parquet"))
+        base = os.path.getmtime(os.path.join(src, "part-000.parquet"))
+        for i in range(2):
+            p = os.path.join(src, f"part-00{i}.parquet")
+            os.utime(p, times=(base + 10 * i, base + 10 * i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .select("user_id")
+            .dropDuplicates(["user_id"]))
+        qname = "stream_dedup_" + os.path.basename(work)[-8:]
+        query = (stream.writeStream.outputMode("append")
+                 .format("memory").queryName(qname)
+                 .option("checkpointLocation", os.path.join(work, "ckpt"))
+                 .trigger(availableNow=True).start())
+        query.awaitTermination()
+        out = spark.table(qname).orderBy("user_id")
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
     def q_distinct(spark, sf):  # D1 — distinct
         return (_t(spark, sf, "lineitem")
                 .select("l_returnflag", "l_linestatus").distinct()
@@ -1039,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "windowed_time_agg": q_windowed_time_agg,
         "streaming_windowed_agg": q_streaming_windowed_agg,
+        "streaming_dedup": q_streaming_dedup,
         "distinct_pairs": q_distinct,
         "join_agg": q_join_agg,
         "dedup_exact": q_dedup_exact,
@@ -1350,6 +1402,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "count(*) AS n, round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+        ),
+        # streaming_dedup: the stateful stream over two overlapping
+        # micro-batches must emit exactly the batch DISTINCT key set.
+        "streaming_dedup": (
+            "SELECT DISTINCT user_id FROM events ORDER BY user_id"
         ),
         "distinct_pairs": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
