@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from tests.oracle import ref_functions, ref_parsers
@@ -57,7 +57,21 @@ def test_distinct_sorted_is_set_equal_and_stable(items):
 
 @settings(max_examples=200, deadline=None)
 @given(url=hrefs)
+@example(url="//[").via("discovered failure")
 def test_scheme_fanout_always_onion(url):
     for candidate in weblib.scheme_fanout(url):
         assert weblib.is_onion_url(candidate)
         assert candidate.startswith(("http://", "https://"))
+
+
+def test_scheme_fanout_malformed_url_yields_empty():
+    """Pinned r5 hypothesis counterexample: urlsplit('//[') raises
+    ValueError (Invalid IPv6 URL). scheme_fanout must swallow it and
+    return [] — one malformed frontier URL must not kill the Arrow UDF
+    task (deliberate divergence from the reference's unguarded handler,
+    TorSpider.py:344)."""
+    assert weblib.scheme_fanout("//[") == []
+    assert weblib.scheme_fanout("http://[::1x/.onion") == []
+    # well-formed input still fans out both schemes
+    assert weblib.scheme_fanout("ftp://zz.onion/a?b#c") == [
+        "http://zz.onion/a?b#c", "https://zz.onion/a?b#c"]

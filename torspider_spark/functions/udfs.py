@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 from torspider_spark.schemas import EXTRACTED
 from torspider_spark.weblib import (
     extract_links,
-    host_of,
+    host_of_safe,
     is_onion_url,
     resolve_redirect,
     scan_page,
@@ -102,9 +102,11 @@ def scheme_fanout_udf(url: pd.Series) -> pd.Series:
 def host_of_udf(url: pd.Series) -> pd.Series:
     """Exact Python-urlsplit netloc. Used where value-level parity with the
     reference matters; plain partitioning keys use F.parse_url(url,'HOST')
-    (JVM-side) instead."""
-    return pd.Series([host_of(u) if u is not None else None for u in url],
-                     dtype="object")
+    (JVM-side) instead. Malformed URLs (urlsplit ValueError) map to '' via
+    host_of_safe — one bad seed must not kill the task."""
+    return pd.Series(
+        [host_of_safe(u) if u is not None else None for u in url],
+        dtype="object")
 
 
 @F.pandas_udf(T.StringType())

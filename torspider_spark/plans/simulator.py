@@ -31,7 +31,7 @@ from torspider_spark.weblib import (
     content_type_class,
     extract_links,
     forms_of_json,
-    host_of,
+    host_of_safe,
     is_onion_url,
     resolve_redirect,
     scan_page,
@@ -91,8 +91,10 @@ class CrawlSimulator:
         key = url_sha1(url)
         if key in self.frontier:
             return
+        # host_of_safe: a malformed seed URL keys under host '' instead of
+        # crashing (same policy as the engine's host_of_udf).
         self.frontier[key] = SimRecord(
-            url=url, url_hash=key, host=host_of(url), depth=depth,
+            url=url, url_hash=key, host=host_of_safe(url), depth=depth,
             priority=priority, added_epoch=epoch,
             next_eligible_epoch=next_eligible)
 

@@ -21,6 +21,7 @@ from torspider_spark.weblib.urlnorm import (
     canonicalize_href,
     extract_links,
     host_of,
+    host_of_safe,
     is_onion_url,
     scheme_fanout,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "canonicalize_href",
     "extract_links",
     "host_of",
+    "host_of_safe",
     "is_onion_url",
     "scheme_fanout",
     "content_type_class",

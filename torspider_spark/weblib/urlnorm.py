@@ -31,6 +31,22 @@ def host_of(url: str) -> str:
     return urlsplit(url)[1]
 
 
+def host_of_safe(url: str) -> str:
+    """Netloc of a URL, or ``''`` when ``urlsplit`` rejects it.
+
+    Frontier keying must tolerate malformed seed/discovered URLs (e.g.
+    ``'//['`` -> ValueError: Invalid IPv6 URL): one bad URL may not crash
+    an Arrow UDF task or the simulator. Malformed URLs group under the
+    empty host for politeness budgeting — identically in the engine
+    (functions/udfs.py host_of_udf) and the simulator — then fail their
+    fetch join and age out through the retry/dead path.
+    """
+    try:
+        return urlsplit(url)[1]
+    except ValueError:
+        return ""
+
+
 def is_onion_url(url: str) -> bool:
     """Whole-string onion gate used on candidate new_urls.
 
@@ -104,8 +120,18 @@ def scheme_fanout(url: str) -> list[str]:
     Parity: the InvalidSchema handler (TorSpider.py:341-353) re-splits the
     URL and appends both scheme variants that pass the whole-string onion
     gate, in http-then-https order.
+
+    Deliberate divergence: malformed URLs that ``urlsplit`` rejects (e.g.
+    ``'//['`` -> ValueError: Invalid IPv6 URL) yield ``[]`` instead of
+    raising. The reference's handler is unguarded (TorSpider.py:344 would
+    crash the worker); here the function runs per-row inside an Arrow UDF,
+    so one bad frontier URL must not fail the task. This mirrors
+    :func:`canonicalize_href`'s per-link exception swallow.
     """
-    _s, netloc, path, query, frag = urlsplit(url)
+    try:
+        _s, netloc, path, query, frag = urlsplit(url)
+    except ValueError:
+        return []
     out: list[str] = []
     for scheme in ("http", "https"):
         candidate = urlunsplit((scheme, netloc, path, query, frag))
