@@ -78,21 +78,25 @@ _MEDIAGEN_THUMBS = [  # (media_id, thumb_w, thumb_h, n_bytes, thumb_sha1)
     # each 4x4 box sits inside one constant 8x8 block, so the sha1 comes
     # from direct reshape-mean math over synth_luma — identical for all
     # three codecs (the DC-only JPEG round-trips exactly too).
-    (0, 16, 16, 256, "'8ca56ddaa08044970b0bef24c853f642433cec39'"),
-    (1, 16, 16, 256, "'774a2d95cb75ddf864a7a912d0327c1ba08d5607'"),
-    (2, 16, 16, 256, "'19134e7c3c18970b4209233231a012a387dd11fb'"),
-    (3, 16, 16, 256, "'23aff35bba0d4ddc56c3e4f1c0895f18045d300a'"),
-    (4, 16, 16, 256, "'78ba3ecd0a888e2476e453771c2dd584a75225c8'"),
-    (5, 16, 16, 256, "'b51786d2c23d7f7e1c3b51555420295eef317d76'"),
-    (6, 16, 16, 256, "'3527c4e4afb7c1f0a3ce1da6d6d9bab9ef865eba'"),
-    (7, 16, 16, 256, "'d44dfd29a959a009d4279e5e2393fa19c0e42ced'"),
-    (8, 16, 16, 256, "'14cde934b218dfdef12e9b13e4954ab230526e20'"),
+    (0, 16, 16, 256, "8ca56ddaa08044970b0bef24c853f642433cec39"),
+    (1, 16, 16, 256, "774a2d95cb75ddf864a7a912d0327c1ba08d5607"),
+    (2, 16, 16, 256, "19134e7c3c18970b4209233231a012a387dd11fb"),
+    (3, 16, 16, 256, "23aff35bba0d4ddc56c3e4f1c0895f18045d300a"),
+    (4, 16, 16, 256, "78ba3ecd0a888e2476e453771c2dd584a75225c8"),
+    (5, 16, 16, 256, "b51786d2c23d7f7e1c3b51555420295eef317d76"),
+    (6, 16, 16, 256, "3527c4e4afb7c1f0a3ce1da6d6d9bab9ef865eba"),
+    (7, 16, 16, 256, "d44dfd29a959a009d4279e5e2393fa19c0e42ced"),
+    (8, 16, 16, 256, "14cde934b218dfdef12e9b13e4954ab230526e20"),
 ]
 
 
 def _values_sql(rows, cols) -> str:
+    # str values are SQL-quoted here; data tuples stay plain Python values.
+    def lit(v):
+        return "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+
     vals = ", ".join(
-        "(" + ", ".join(str(v) for v in row) + ")" for row in rows)
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
     return f"(VALUES {vals}) AS t({', '.join(cols)})"
 
 

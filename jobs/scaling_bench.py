@@ -348,6 +348,12 @@ def main() -> None:
 
 def write_report(existing: dict) -> None:
     # -- BENCH/BASELINE.md ---------------------------------------------------
+    if not existing.get("headline"):
+        raise SystemExit(
+            "scaling.json has no 'headline' section (produced by an "
+            "--only-variants/--only-flip run or truncated?) — run the full "
+            "headline protocol first, then --report-only regenerates the "
+            "report.")
     report_eff = existing["headline"]["scaling_efficiency"]
     small = existing["headline"]["n"]
     big = existing["headline"]["four_n"]

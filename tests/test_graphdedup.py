@@ -124,6 +124,23 @@ def test_cc_raises_instead_of_partial_result(spark):
         graphdedup.connected_components(pairs, max_rounds=1)
 
 
+def test_cc_rejects_non_numeric_ids_loudly(spark):
+    """A string doc id would cast to NULL and silently corrupt the graph;
+    the guarded cast must raise instead (ADVICE r5)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    pairs = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC")], "a: string, b: string")
+    with pytest.raises(SparkRuntimeException, match="not castable to long"):
+        graphdedup.connected_components(pairs).collect()
+    # numeric strings cast losslessly and stay accepted
+    ok = spark.createDataFrame([("1", "2"), ("2", "3")],
+                               "a: string, b: string")
+    comps = {r.node: r.component
+             for r in graphdedup.connected_components(ok).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1}
+
+
 # ------------------------------------------------ span dedup ------------
 
 SPAN_DOCS = [

@@ -96,10 +96,27 @@ def connected_components(pairs: DataFrame, id_a: str = "a",
     above the O(log^2 n) theory for any realistic graph; hitting it is a
     bug, not a data property, so it raises instead of returning a
     half-contracted labeling.
+
+    Node ids MUST be integral (long or losslessly castable to long —
+    xxhash64 output is the usual source). A non-numeric id would
+    try_cast to NULL and silently corrupt the graph (or, under ANSI,
+    fail with a generic CAST_INVALID_INPUT pointing nowhere useful), so
+    the cast is guarded: any row whose id is non-null before the cast
+    and null after raises a named error in the first scan (no extra
+    job). String-keyed callers should pre-hash with F.xxhash64.
     """
+
+    def _as_long(name: str, alias: str):
+        raw, cast = F.col(name), F.col(name).try_cast("long")
+        return (F.when(raw.isNotNull() & cast.isNull(), F.raise_error(
+            F.concat(F.lit(f"connected_components: id column '{name}' is "
+                           "not castable to long (got '"),
+                     raw.cast("string"), F.lit("'); pre-hash string ids "
+                     "with xxhash64"))))
+                .otherwise(cast).alias(alias))
+
     edges = _canonical(
-        pairs.select(F.col(id_a).cast("long").alias("u"),
-                     F.col(id_b).cast("long").alias("v"))
+        pairs.select(_as_long(id_a, "u"), _as_long(id_b, "v"))
     ).localCheckpoint(eager=True)
     nodes = (edges.select(F.col("u").alias("node"))
              .unionByName(edges.select(F.col("v").alias("node")))
