@@ -80,6 +80,94 @@ def bench_media(spark) -> dict[str, float]:
     return times
 
 
+def bench_skew_guard(spark, sf_dir: str) -> dict[str, float]:
+    """Stop-shingle cutoff under a PLANTED boilerplate skew (VERDICT r5 #5).
+
+    Every document gets the same appended footer, so its 3-gram shingles
+    reach df == n_docs — the exact hot key that makes the co-occurrence
+    self-join emit O(df^2) rows. The capped line runs the full table with
+    max_shingle_df=64 (df(footer shingles) = 5000 at sf0.1 >> 64, so the
+    cutoff demonstrably fires — asserted, not assumed); the uncapped
+    comparator runs the SAME planted input on a 1500-doc slice because
+    the full uncapped join is quadratic by construction. Capped-full
+    beating uncapped-slice (3.3x the docs) is the timing evidence that
+    the guard converts the blow-up into a count-agg + filter.
+    """
+    from pyspark.sql import functions as F
+
+    from torspider_spark.operators import textdedup
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    boiler = " subscribe to our newsletter for weekly onion updates"
+    planted = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(boiler)))
+    cap = 64
+    n_docs = planted.count()
+    # prove the cutoff fires: at least the fully-boilerplate shingles sit
+    # above the cap (df == n_docs)
+    hot = (planted.select(F.explode(F.array_distinct(
+               textdedup.word_shingles("text", 3))).alias("sh"))
+           .groupBy("sh").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > cap).count())
+    assert hot >= 1 and n_docs > cap, (hot, n_docs)
+
+    times: dict[str, float] = {}
+    # true A/B on the SAME input: a ~1500-doc slice keeps the uncapped
+    # quadratic comparator affordable per round
+    sliced = planted.filter(F.col("doc_id") % 10 < 3).localCheckpoint()
+    t0 = time.time()
+    _run_noop(textdedup.ngram_jaccard_pairs(sliced, threshold=0.5))
+    times["jaccard_boiler_uncapped"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _run_noop(textdedup.ngram_jaccard_pairs(
+        sliced, threshold=0.5, max_shingle_df=cap))
+    times["jaccard_boiler_capped"] = round(time.time() - t0, 3)
+    # scale-path line: the capped join over the full planted table
+    t0 = time.time()
+    _run_noop(textdedup.ngram_jaccard_pairs(
+        planted, threshold=0.5, max_shingle_df=cap))
+    times["jaccard_boiler_capped_full"] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_cc_chain(spark) -> dict:
+    """CC round-count probe on the adversarial chain-heavy shape
+    (VERDICT r5 #6): ~10^6 edges as 1667 disjoint 600-node paths — the
+    600-deep union-find fixture shape at bench scale. Star contraction
+    must converge in O(log^2 depth) rounds; a regression in the
+    contraction (e.g. a lost localCheckpoint re-deriving lineage) shows
+    up here as ROUNDS or per-round blow-up, not as ambient VM noise."""
+    from pyspark.sql import functions as F
+
+    from torspider_spark.operators import graphdedup
+
+    n_chains, depth = 1667, 600
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # node id = chain*1024 + pos; edges (id, id+1) within each chain —
+    # built distributed from range(), never on the driver.
+    edges = (spark.range(n_chains * (depth - 1)).repartition(cpus)
+             .select((F.col("id") / (depth - 1)).cast("long").alias("c"),
+                     (F.col("id") % (depth - 1)).alias("p"))
+             .select((F.col("c") * 1024 + F.col("p")).alias("a"),
+                     (F.col("c") * 1024 + F.col("p") + 1).alias("b")))
+    stats: list[dict] = []
+    t0 = time.time()
+    comps = graphdedup.connected_components(edges, round_stats=stats)
+    n_components = comps.select("component").distinct().count()
+    wall = round(time.time() - t0, 3)
+    assert n_components == n_chains, (n_components, n_chains)
+    return {
+        "n_edges": n_chains * (depth - 1),
+        "chain_depth": depth,
+        "cc_rounds": len(stats),
+        "round_sec": [s["seconds"] for s in stats],
+        "round_edges": [s["edges"] for s in stats],
+        "wall_sec": wall,
+        "n_components": n_components,
+    }
+
+
 def bench_crawl(spark, sf: float) -> dict:
     """North metric: run the crawl engine on a seeded synthetic corpus."""
     from torspider_spark.config import CrawlConfig
@@ -126,6 +214,8 @@ def main() -> None:
 
     queries = bench_queries(spark, sf_dir)
     queries.update(bench_media(spark))
+    queries.update(bench_skew_guard(spark, sf_dir))
+    cc_chain = bench_cc_chain(spark)
     crawl = bench_crawl(spark, sf)
     total = round(sum(queries.values()) + crawl["wall_sec"], 3)
     # Scaling evidence rides as a compact summary only — the full
@@ -162,6 +252,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "crawl": crawl,
+        "cc_chain": cc_chain,
         "scaling": scaling,
         "cpus": int(cpus),
     }), flush=True)

@@ -124,6 +124,24 @@ def test_cc_raises_instead_of_partial_result(spark):
         graphdedup.connected_components(pairs, max_rounds=1)
 
 
+def test_cc_round_stats_reports_contraction(spark):
+    """round_stats must record one entry per contraction round with
+    monotone round ids and the final round's edge count equal to the
+    star forest size (n_nodes - n_components)."""
+    # one 64-deep chain + one triangle: 63 + 3 edges, 67 nodes, 2 comps
+    pairs = [(i, i + 1) for i in range(63)] + [
+        (100, 101), (101, 102), (100, 102)]
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    stats: list[dict] = []
+    comps = graphdedup.connected_components(df, round_stats=stats)
+    n_nodes = comps.count()
+    n_comps = comps.select("component").distinct().count()
+    assert [s["round"] for s in stats] == list(range(1, len(stats) + 1))
+    assert len(stats) >= 2  # depth-64 chain cannot converge in one round
+    assert stats[-1]["edges"] == n_nodes - n_comps
+    assert all(s["seconds"] >= 0 for s in stats)
+
+
 def test_cc_rejects_non_numeric_ids_loudly(spark):
     """A string doc id would cast to NULL and silently corrupt the graph;
     the guarded cast must raise instead (ADVICE r5)."""

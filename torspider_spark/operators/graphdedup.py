@@ -35,6 +35,8 @@ section) and is the standard final stage of MinHash corpus dedup.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,7 +89,8 @@ def _signature(edges: DataFrame) -> tuple:
 
 def connected_components(pairs: DataFrame, id_a: str = "a",
                          id_b: str = "b",
-                         max_rounds: int = 25) -> DataFrame:
+                         max_rounds: int = 25,
+                         round_stats: list | None = None) -> DataFrame:
     """pairs -> (node, component) with component = min node id reachable.
 
     Alternating large-star/small-star until the canonical edge set is
@@ -96,6 +99,13 @@ def connected_components(pairs: DataFrame, id_a: str = "a",
     above the O(log^2 n) theory for any realistic graph; hitting it is a
     bug, not a data property, so it raises instead of returning a
     half-contracted labeling.
+
+    ``round_stats``, when a list, receives one dict per contraction round
+    — {"round", "seconds", "edges"} (seconds covers the round's eager
+    localCheckpoint AND its signature action; edges is the canonical
+    edge count after the round). The bench uses it to catch round-count
+    regressions (e.g. a lost localCheckpoint re-deriving the whole chain
+    each round) as ROUNDS, not as wall-clock noise.
 
     Node ids MUST be integral (long or losslessly castable to long —
     xxhash64 output is the usual source). A non-numeric id would
@@ -122,10 +132,17 @@ def connected_components(pairs: DataFrame, id_a: str = "a",
              .unionByName(edges.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=True))
     sig = _signature(edges)
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
+        t0 = time.monotonic()
         edges = _canonical(
             _small_star(_large_star(edges))).localCheckpoint(eager=True)
         new_sig = _signature(edges)
+        if round_stats is not None:
+            round_stats.append({
+                "round": round_idx + 1,
+                "seconds": round(time.monotonic() - t0, 3),
+                "edges": new_sig[0],
+            })
         if new_sig == sig:
             break
         sig = new_sig
