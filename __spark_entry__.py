@@ -597,9 +597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              F.round("cos_sim", 4).alias("cos_sim"))
                 .orderBy("a", "b"))
 
-    def q_lsh_topk(spark, sf):  # training-data: LSH-probed ANN (approximate
-        # op — no SQL oracle; the driver's rows-only check applies, and
-        # tests/test_dataops.py asserts recall against brute force)
+    def q_lsh_topk(spark, sf):  # training-data: LSH-probed ANN. The probe
+        # choice is deterministic (seeded hyperplanes + least-|margin| bit
+        # flips), so despite being an "approximate" op it carries a FULL
+        # value oracle (_lsh_topk_oracle recomputes buckets, probes and
+        # the in-bucket re-rank in SQL); recall vs brute force is
+        # additionally asserted in tests/test_dataops.py.
         emb = _t(spark, sf, "embeddings")
         qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
         return (similarity.lsh_topk(emb, qv, k=10)
@@ -1368,6 +1371,51 @@ def _near_dup_cosine_oracle(dim: int = 64, n_planes: int = 6,
         f"WHERE cos >= {threshold} ORDER BY a, b")
 
 
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, n_probes: int = 3,
+                     seed: int = 42, k: int = 10) -> str:
+    """DuckDB mirror of operators/similarity.lsh_topk end to end: the
+    seeded hyperplanes are inlined as literals (same pure function as the
+    Spark side), the query vector is the min-vec_id row, its bucket bits
+    and the multi-probe set (flip the n_probes-1 least-|margin| bits,
+    ties by plane index — exactly Python's sorted((abs, i)) order) are
+    recomputed in SQL, and the exact re-rank runs inside the probed
+    buckets only. This makes the 'approximate' op fully value-checked:
+    approximation lives in the probe CHOICE, which is deterministic, so
+    both sides must pick identical candidates and identical top-k."""
+    from torspider_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(v) for v in plane) + "])"
+        for i, plane in enumerate(planes))
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes))
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "ORDER BY vec_id LIMIT 1), "
+        f"planes(i, p) AS (VALUES {plane_rows}), "
+        "qd AS (SELECT i, list_dot_product(p, (SELECT v FROM q)) AS d "
+        "FROM planes), "
+        "qb AS (SELECT sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) "
+        "ELSE 0 END) AS bits FROM qd), "
+        f"flips AS (SELECT i FROM qd ORDER BY abs(d) ASC, i ASC "
+        f"LIMIT {max(0, n_probes - 1)}), "
+        "probes AS (SELECT bits AS pb FROM qb UNION ALL "
+        "SELECT xor((SELECT bits FROM qb), (1::BIGINT << i)) FROM flips), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bucket FROM e), "
+        "c AS (SELECT vec_id, list_dot_product(v, (SELECT v FROM q)) / "
+        "(sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q)))) "
+        "AS cos FROM b WHERE bucket IN (SELECT pb FROM probes)) "
+        f"SELECT vec_id, round(cos, 4) AS cos_sim FROM c "
+        f"ORDER BY cos DESC, vec_id ASC LIMIT {k}")
+
+
 def oracle_sql() -> dict[str, str]:
     # Sampling thresholds come from the SAME helper the Spark operators
     # use, so the two sides cannot drift (operators/sampling.py).
@@ -1522,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jac >= 0.2 ORDER BY a, b"
         ),
         "near_dup_cosine": _near_dup_cosine_oracle(),
+        "lsh_topk": _lsh_topk_oracle(),
         # lsh_topk / ivf_topk: intentionally NO oracle entries — both are
         # approximate ops whose probe sets hinge on float sign/margin
         # order; the driver records rows-only checks and the pytest suite

@@ -395,8 +395,8 @@ def write_report(existing: dict) -> None:
         ]
     hist = existing.get("session_history")
     if hist:
-        lines += ["", "Independent interleaved sessions this round "
-                      "(median efficiency each):"]
+        lines += ["", "Independent interleaved sessions "
+                      "(round, median efficiency each):"]
         lines += [f"- {h}" for h in hist]
     lines += [
         "",
@@ -430,6 +430,13 @@ def write_report(existing: dict) -> None:
             f"- **efficiency with compaction in the measured window: "
             f"{cv['scaling_efficiency']}**",
         ]
+        if cv.get("efficiency_samples_this_round"):
+            lines += [
+                f"- all samples this round: "
+                f"{cv['efficiency_samples_this_round']}"
+                + (f" — {cv['samples_note']}" if cv.get("samples_note")
+                   else ""),
+            ]
     rv = existing.get("robots_flip_variant")
     if rv:
         r = rv["four_n"]
