@@ -608,8 +608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (similarity.lsh_topk(emb, qv, k=10)
                 .select("vec_id", F.round("cos_sim", 4).alias("cos_sim")))
 
-    def q_ivf_topk(spark, sf):  # training-data: IVF-probed ANN (approximate
-        # op — rows-only check, recall asserted in tests)
+    def q_ivf_topk(spark, sf):  # training-data: IVF-probed ANN. Centroid
+        # sampling is md5-ordered (similarity.ivf_assign), so the probe
+        # lists are bit-replayable by DuckDB and the query carries a FULL
+        # value oracle (_ivf_topk_oracle); recall vs brute force is
+        # additionally asserted in tests/test_dataops.py.
         emb = _t(spark, sf, "embeddings")
         qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
         return (similarity.ivf_topk(emb, qv, k=10)
@@ -1096,9 +1099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   24-50 training-data ops, every one value-oracled;
     #   51+   spill: rows whose semantics a budgeted query already covers
     #         (count/filter/taxonomy/join shapes are inside crawl_stats /
-    #         crawl_fault_taxonomy / the crawl fetch join), the by-design
-    #         rows-only ANN probes (lsh_topk/ivf_topk, err: no_oracle —
-    #         their recall is pytest-asserted), and TPC-H-style warm-ups.
+    #         crawl_fault_taxonomy / the crawl fetch join), the ANN probe
+    #         variants (fully value-oracled since r6, with ann_cosine and
+    #         near_dup_cosine holding the in-budget ANN evidence), and
+    #         TPC-H-style warm-ups.
     # All 66 stay runnable and stay under jobs/oracle_check.py locally.
     return {
         # -- crawl engine + WARC (driver rows are the §2 hard evidence) ----
@@ -1416,6 +1420,44 @@ def _lsh_topk_oracle(dim: int = 64, n_planes: int = 8, n_probes: int = 3,
         f"ORDER BY cos DESC, vec_id ASC LIMIT {k}")
 
 
+def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+                     k: int = 10) -> str:
+    """DuckDB mirror of operators/similarity.ivf_topk end to end. Every
+    'approximate' decision is deterministic and recomputed here in SQL:
+    the centroid sample is the first n_centroids rows by md5("<id>:<seed>")
+    (bit-identical in Spark and DuckDB — the reason ivf_assign uses md5),
+    assignment is argmax over (sim, ci) with ties to the HIGHER ci
+    (Spark's F.greatest over struct(sim, cid)), the probe set is the
+    n_probe best centroids for the query by (score DESC, ci DESC) —
+    Python's sorted(..., reverse=True) on (score, ci) tuples — and the
+    exact cosine re-rank runs inside the probed lists only."""
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        "ORDER BY vec_id LIMIT 1), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "cent AS (SELECT row_number() OVER (ORDER BY "
+        f"md5(vec_id || ':{seed}')) - 1 AS ci, v AS cv "
+        f"FROM e ORDER BY md5(vec_id || ':{seed}') LIMIT {n_centroids}), "
+        "assigned AS (SELECT vec_id, v, ci, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY "
+        "list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product(cv, cv))) DESC, ci DESC) AS rn "
+        "FROM e CROSS JOIN cent), "
+        "probes AS (SELECT ci FROM cent ORDER BY "
+        "list_dot_product(cv, (SELECT v FROM q)) / "
+        "(sqrt(list_dot_product(cv, cv)) * "
+        "sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q)))) "
+        f"DESC, ci DESC LIMIT {n_probe}), "
+        "c AS (SELECT vec_id, list_dot_product(v, (SELECT v FROM q)) / "
+        "(sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q)))) "
+        "AS cos FROM assigned WHERE rn = 1 "
+        "AND ci IN (SELECT ci FROM probes)) "
+        f"SELECT vec_id, round(cos, 4) AS cos_sim FROM c "
+        f"ORDER BY cos DESC, vec_id ASC LIMIT {k}")
+
+
 def oracle_sql() -> dict[str, str]:
     # Sampling thresholds come from the SAME helper the Spark operators
     # use, so the two sides cannot drift (operators/sampling.py).
@@ -1571,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "near_dup_cosine": _near_dup_cosine_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
         # lsh_topk / ivf_topk: intentionally NO oracle entries — both are
         # approximate ops whose probe sets hinge on float sign/margin
         # order; the driver records rows-only checks and the pytest suite

@@ -128,9 +128,16 @@ def near_duplicates_by_cosine(embeddings: DataFrame, threshold: float = 0.95,
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, seed: int = 42,
                vec_col: str = "embedding", id_col: str = "vec_id"):
     """IVF-lite: seeded deterministic sample as centroids, nearest-centroid
-    assignment (broadcast centroid array, one pass)."""
+    assignment (broadcast centroid array, one pass).
+
+    The sample orders by md5 of "<id>:<seed>" rather than xxhash64 for the
+    same reason operators/sampling.py keys its thresholds off md5: every
+    engine (DuckDB included) computes the identical digest, so the centroid
+    CHOICE — the only "approximate" part of IVF search — is bit-replayable
+    by the SQL oracle and the whole ivf_topk path is value-checkable."""
     sample = (embeddings
-              .withColumn("_r", F.xxhash64(F.col(id_col), F.lit(seed)))
+              .withColumn("_r", F.md5(F.concat(
+                  F.col(id_col).cast("string"), F.lit(f":{seed}"))))
               .orderBy("_r").limit(n_centroids)
               .select(vec_col).collect())
     centroids = [list(map(float, r[0])) for r in sample]
