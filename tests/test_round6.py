@@ -96,6 +96,84 @@ def test_malformed_seed_engine_matches_simulator(malformed_pair):
     assert not mismatched, list(mismatched.items())[:5]
 
 
+def test_crawl_as_streaming_query_equals_batch(spark, corpus_dir,
+                                               tmp_path_factory):
+    """SURVEY §2.H realized end to end: the whole crawl loop as ONE
+    Structured Streaming query (foreachBatch; one epoch tick file = one
+    micro-batch = one epoch through the unchanged batch operators) must
+    produce exactly the batch loop's frontier state and scan results."""
+    from torspider_spark.streaming.crawl_stream import crawl_stream_run
+
+    corpus, _ = corpus_dir
+    n_epochs = 5
+    cfg = CrawlConfig(bloom_min_frontier=0, host_budget_per_epoch=3,
+                      max_depth=4, max_tries=2)
+    batch_job = CrawlJob(spark, corpus,
+                         str(tmp_path_factory.mktemp("wh_sb")), cfg)
+    batch_job.run(max_epochs=n_epochs)
+
+    base = tmp_path_factory.mktemp("wh_ss")
+    stream_job, history = crawl_stream_run(
+        spark, corpus, str(base / "wh"), cfg, n_epochs,
+        checkpoint_dir=str(base / "ckpt"), ticks_dir=str(base / "ticks"))
+    assert len(history) == n_epochs
+
+    def view(job):
+        return {r.url: (r.state, r.tries, r.last_hash, r.depth, r.priority)
+                for r in job.frontier_df().collect()}
+
+    assert view(stream_job) == view(batch_job)
+    res_s = {(r.url, r.epoch) for r in stream_job.results().collect()}
+    res_b = {(r.url, r.epoch) for r in batch_job.results().collect()}
+    assert res_s == res_b
+
+
+def test_crawl_stream_crash_resumes_exactly_once(spark, corpus_dir,
+                                                 tmp_path_factory):
+    """Kill the stream INSIDE an epoch (first attempt at epoch 3 raises):
+    the restarted query replays the unfinished tick from the streaming
+    checkpoint, the warehouse's idempotent re-commit absorbs any partial
+    epoch-3 work, and the final state equals an uninterrupted run."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from torspider_spark.streaming.crawl_stream import crawl_stream_run
+
+    corpus, _ = corpus_dir
+    n_epochs = 4
+    cfg = CrawlConfig(bloom_min_frontier=0, host_budget_per_epoch=3,
+                      max_depth=4, max_tries=2)
+    ref_job = CrawlJob(spark, corpus,
+                       str(tmp_path_factory.mktemp("wh_ref4")), cfg)
+    ref_job.run(max_epochs=n_epochs)
+
+    base = tmp_path_factory.mktemp("wh_crash")
+    tripped = {"fired": False}
+
+    def crash_once(epoch):
+        if epoch == 3 and not tripped["fired"]:
+            tripped["fired"] = True
+            raise RuntimeError("injected crash before epoch 3")
+
+    with pytest.raises(StreamingQueryException):
+        crawl_stream_run(
+            spark, corpus, str(base / "wh"), cfg, n_epochs,
+            checkpoint_dir=str(base / "ckpt"), ticks_dir=str(base / "ticks"),
+            epoch_hook=crash_once)
+    assert tripped["fired"]
+
+    resumed_job, history = crawl_stream_run(
+        spark, corpus, str(base / "wh"), cfg, n_epochs,
+        checkpoint_dir=str(base / "ckpt"), ticks_dir=str(base / "ticks"))
+    # epochs 1-2 committed before the crash are NOT re-run
+    assert [h["epoch"] for h in history] == [3, 4]
+
+    def view(job):
+        return {r.url: (r.state, r.tries, r.last_hash, r.depth, r.priority)
+                for r in job.frontier_df().collect()}
+
+    assert view(resumed_job) == view(ref_job)
+
+
 def test_malformed_seed_fault_is_reference_string(malformed_pair):
     job, sim, _history = malformed_pair
     engine = {(r.url, r.epoch): (r.fault, tuple(sorted(r.new_urls)))

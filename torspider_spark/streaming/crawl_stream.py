@@ -163,3 +163,107 @@ def run_change_detect_to_memory(spark: SparkSession, pages_dir: str,
     query.processAllAvailable()
     query.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# The full crawl loop as ONE streaming query (SURVEY.md §2.H: "frontier
+# epoch ~= micro-batch trigger; foreachBatch ... reuses every epoch
+# operator unchanged")
+# ---------------------------------------------------------------------------
+
+def write_epoch_ticks(ticks_dir: str, first_epoch: int, n_epochs: int) -> None:
+    """Materialize the epoch schedule as one tiny JSON file per epoch.
+
+    The file-source stream over this directory (maxFilesPerTrigger=1) is
+    the rate-limited frontier reader: one file -> one micro-batch -> one
+    epoch. In production the same role is a Kafka topic of crawl ticks or
+    a rate source under a processingTime trigger; a file per tick keeps
+    the sandbox run deterministic and resumable."""
+    import json as _json
+    import os
+
+    os.makedirs(ticks_dir, exist_ok=True)
+    for epoch in range(first_epoch, first_epoch + n_epochs):
+        path = os.path.join(ticks_dir, f"epoch_{epoch:07d}.json")
+        if not os.path.exists(path):
+            with open(path, "w") as fh:
+                fh.write(_json.dumps({"epoch": epoch}) + "\n")
+
+
+def crawl_stream_run(spark: SparkSession, corpus_dir: str, work_dir: str,
+                     cfg, max_epochs: int, checkpoint_dir: str,
+                     ticks_dir: str,
+                     epoch_hook=None) -> tuple[object, list[dict]]:
+    """Run the crawl engine as a Structured Streaming query.
+
+    One micro-batch = one epoch through the UNCHANGED batch operators:
+    foreachBatch hands each epoch tick to CrawlJob.run_epoch, so candidate
+    selection, fetch join, taxonomy, extraction, dedup and the MOR state
+    merge execute exactly as in the BSP loop — the streaming layer only
+    supplies pacing (maxFilesPerTrigger=1) and restart bookkeeping.
+
+    Exactly-once comes from BOTH layers and needs both: the streaming
+    checkpoint replays an unfinished tick after a crash (same batch, same
+    file), and the warehouse's idempotent epoch re-commit absorbs the
+    replay (same inputs => same snapshot keys => re-commit is a no-op
+    semantically) — the same property the batch loop's kill/resume tests
+    prove. ``epoch_hook(epoch)``, when given, runs before each epoch
+    (tests use it to inject a crash on first attempt).
+
+    Finalization mirrors CrawlJob.run: journal compaction so direct
+    readers see final state, derived-table publish, event flush. Returns
+    (job, history of non-skipped epoch stats).
+    """
+    from torspider_spark.plans.crawl import CrawlJob
+
+    job = CrawlJob(spark, corpus_dir, work_dir, cfg)
+    job.bootstrap()
+    first = job.resume_epoch()
+    if first > 1:
+        job._backfill_metrics()
+    write_epoch_ticks(ticks_dir, 1, max_epochs)  # idempotent across resumes
+    history: list[dict] = []
+    done = {"empty": False}
+
+    def _run_one_epoch(batch_df, _batch_id: int) -> None:
+        # Ticks are pure pacing tokens: the epoch NUMBER comes from the
+        # job's own progress (resume point + epochs run in this query),
+        # never from tick contents or file order — the file source does
+        # not guarantee same-mtime ordering, and warehouse epoch numbers
+        # drive retry eligibility so they must be consecutive. Each tick
+        # in the batch buys one epoch; the cap keeps a crash's unconsumed
+        # tick from buying an extra epoch after resume (the warehouse may
+        # have committed the epoch whose tick never checkpointed).
+        n_ticks = batch_df.count()
+        for _ in range(int(n_ticks)):
+            epoch = first + len(history)
+            if (epoch > max_epochs or done["empty"]
+                    or job.stop_requested()):
+                return
+            if epoch_hook is not None:
+                epoch_hook(epoch)
+            stats = job.run_epoch(epoch)
+            history.append(stats)
+            done["empty"] = stats["empty"]
+            if (cfg.events_flush_epochs
+                    and epoch % cfg.events_flush_epochs == 0):
+                job._flush_events()
+
+    query = (
+        spark.readStream.schema("epoch int")
+        .option("maxFilesPerTrigger", 1)
+        .json(ticks_dir)
+        .writeStream.foreachBatch(_run_one_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    ran = [h for h in history if not h["empty"]]
+    if cfg.frontier_mor and ran:
+        job.compact_frontier(ran[-1]["epoch"])
+    if cfg.persist_derived and ran:
+        job.publish_tables()
+    job._flush_events()
+    return job, history
