@@ -220,6 +220,12 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--skip-variants", action="store_true")
     parser.add_argument("--only-variants", action="store_true")
+    parser.add_argument("--variant-repeats", type=int, default=1,
+                        help="interleaved N/4N repeats for the compaction "
+                             "variant (headline-style medians)")
+    parser.add_argument("--skip-flip", action="store_true",
+                        help="skip the robots-flip variant (repeat the "
+                             "compaction variant without re-paying it)")
     parser.add_argument("--only-flip", action="store_true",
                         help="re-run just the robots-flip variant and "
                              "refresh the artifacts")
@@ -288,26 +294,44 @@ def main() -> None:
         # paid (and counted) mid-run at headline scale.
         compact_cfg = {"mor_insert_journal_max_rows": 10**9,
                        "mor_compact_rows": 400_000}
-        print("[variant compaction] ...", file=sys.stderr, flush=True)
-        cs = run_once(args.n, corpus, args.budget, args.warmup, args.measure,
-                      extra_cfg=compact_cfg)
-        cb = run_once(args.n * 4, corpus, args.budget, args.warmup,
-                      args.measure, extra_cfg=compact_cfg)
-        ceff = round((cb["throughput"] / cs["throughput"]) / 4, 3)
+        # Same interleaved-repeats protocol as the headline (r6: the r5
+        # artifact held one run per level, and two extra runs had to be
+        # spliced into the JSON by hand to report variance honestly).
+        cs_s, cb_s = [], []
+        for i in range(args.variant_repeats):
+            print(f"[variant compaction {i + 1}/{args.variant_repeats}] "
+                  f"local[{args.n}] ...", file=sys.stderr, flush=True)
+            cs_s.append(run_once(args.n, corpus, args.budget, args.warmup,
+                                 args.measure, extra_cfg=compact_cfg))
+            print(f"[variant compaction {i + 1}/{args.variant_repeats}] "
+                  f"local[{args.n * 4}] ...", file=sys.stderr, flush=True)
+            cb_s.append(run_once(args.n * 4, corpus, args.budget,
+                                 args.warmup, args.measure,
+                                 extra_cfg=compact_cfg))
+        cs, cb = summarize(cs_s), summarize(cb_s)
+        ceff = round(
+            (cb["median_throughput"] / cs["median_throughput"]) / 4, 3)
+        adjacent = [round(b["throughput"] / s["throughput"] / 4, 3)
+                    for s, b in zip(cs_s, cb_s)]
         existing["compaction_variant"] = {
             "config": compact_cfg,
             "note": "journal-routed inserts + low row trigger: size-"
                     "triggered compactions fire during the measured "
                     "epochs; compact_sec counts toward epoch wall",
             "n": cs, "four_n": cb, "scaling_efficiency": ceff,
+            "efficiency_samples_this_round": adjacent,
+            "samples_note": f"adjacent interleaved pairs "
+                            f"({args.variant_repeats} repeats); headline "
+                            f"efficiency above is from per-level medians",
         }
         print(json.dumps({"compaction_variant_efficiency": ceff,
+                          "adjacent_pairs": adjacent,
                           "n_compact_sec": [e["compact_sec"]
                                             for e in cs["per_epoch"]],
                           "four_n_compact_sec": [e["compact_sec"]
                                                  for e in cb["per_epoch"]]}))
 
-    if not args.skip_variants or args.only_flip:
+    if (not args.skip_variants or args.only_flip) and not args.skip_flip:
         # Variant B (VERDICT r3 #6): robots flip mid-run — the first
         # measured epoch rebuilds the robots dimension against the
         # loosened corpus and pays the resurrection pass over the full

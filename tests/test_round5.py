@@ -169,17 +169,17 @@ def test_crash_between_fold_and_truncate_resumes_clean(
     corpus, _ = corpus_dir
     want = _ref_state(spark, corpus, tmp_path)
 
-    real_commit = Warehouse.commit
+    real_truncate = Warehouse.truncate
     fired = []
 
-    def crashing(self, name, df, epoch, mode="overwrite", meta=None):
+    def crashing(self, name, epoch, meta=None):
         if (name == "frontier_journal" and meta and meta.get("truncated")
                 and not fired):
             fired.append(epoch)
             raise _CompactBoom("kill between bucket rewrite and truncation")
-        return real_commit(self, name, df, epoch, mode=mode, meta=meta)
+        return real_truncate(self, name, epoch, meta=meta)
 
-    monkeypatch.setattr(Warehouse, "commit", crashing)
+    monkeypatch.setattr(Warehouse, "truncate", crashing)
     work = str(tmp_path / "crash1")
     job = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
     try:
@@ -190,7 +190,7 @@ def test_crash_between_fold_and_truncate_resumes_clean(
     # The torn state really is torn: folded base AND a populated journal.
     assert job.wh.current_epoch("frontier_journal") == 2
 
-    monkeypatch.setattr(Warehouse, "commit", real_commit)
+    monkeypatch.setattr(Warehouse, "truncate", real_truncate)
     resumed = CrawlJob(spark, corpus, work, CrawlConfig(**_CFG))
     assert resumed.resume_epoch() == 3  # e2's barrier (journal append) held
     resumed.run(max_epochs=_N - 2)

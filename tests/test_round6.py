@@ -184,3 +184,100 @@ def test_malformed_seed_fault_is_reference_string(malformed_pair):
                  if r.url in (BAD_SCHEMA_SEED, BAD_CONN_SEED)}
     assert engine == simulated
     assert engine[(BAD_SCHEMA_SEED, 1)] == ("invalid schema", ())
+
+
+# -- compaction fixed-cost cuts (round 6, second half) ---------------------
+#
+# The scaling bench's compaction-forced variant measured the compact wall
+# speeding up only ~3.0x from 1 -> 4 cores: the fold carried two pure
+# fixed-cost driver steps — a scan+window+distinct+collect job that
+# discovers touched buckets (which a journal >= 8*B rows names ~all of
+# anyway) and an empty-DataFrame Spark write for the journal truncation.
+# Round 6 replaces them with an all-buckets planning shortcut
+# (compact_full_rewrite_factor) and a metadata-only Warehouse.truncate.
+# These tests pin the exact-equivalence of both replacements.
+
+def test_truncate_is_metadata_only(spark, tmp_path):
+    """Warehouse.truncate publishes an overwrite snapshot with zero data
+    files and no Spark job; append/read/rollback semantics around it match
+    the old empty-write truncation exactly."""
+    from pyspark.sql import Row
+
+    from torspider_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.commit("t", spark.createDataFrame([Row(a=1), Row(a=2)]), 1,
+              mode="append", meta={"rows": 2})
+    before_dirs = set(os.listdir(str(tmp_path / "wh" / "t")))
+
+    snap = wh.truncate("t", 2, meta={"truncated": True})
+    assert snap["mode"] == "overwrite" and snap["dirs"] == []
+    # no new data dir appeared on disk — pure manifest publish
+    after_dirs = set(os.listdir(str(tmp_path / "wh" / "t")))
+    assert after_dirs - before_dirs == set()
+    m = wh.manifest("t")
+    assert m["current_dirs"] == []
+    assert wh.current_epoch("t") == 2
+    # the monotone sequence advanced (no key reuse for later appends)
+    assert wh.peek_seq("t") == 2
+
+    # a later append starts from the truncated state
+    wh.commit("t", spark.createDataFrame([Row(a=3)]), 3, mode="append")
+    assert [r.a for r in wh.read("t").collect()] == [3]
+
+    # rollback to the truncation snapshot restores the empty state...
+    wh.rollback("t", 2)
+    assert wh.manifest("t")["current_dirs"] == []
+    # ...and rollback past it restores the pre-truncation rows
+    wh.rollback("t", 1)
+    assert sorted(r.a for r in wh.read("t").collect()) == [1, 2]
+
+
+def test_journal_skipped_entirely_after_truncation(spark, corpus_dir,
+                                                   tmp_path):
+    """After a fold, _journal_df() is None (current_dirs is empty), so the
+    next epoch's reconcile skips the journal instead of scanning an empty
+    parquet dir — and the journal row-count walk still reads zero."""
+    corpus, _ = corpus_dir
+    cfg = CrawlConfig(mor_compact_every=2,
+                      bloom_min_frontier=0, host_budget_per_epoch=3,
+                      max_depth=4, max_tries=2)
+    job = CrawlJob(spark, corpus, str(tmp_path / "wh"), cfg)
+    job.run(max_epochs=2)  # epoch 2 compacts + end-of-run fold
+    assert job._journal_rows() == 0
+    assert job._journal_df() is None
+    jm = job.wh.manifest("frontier_journal")
+    assert jm["snapshots"][-1]["mode"] == "overwrite"
+    assert jm["snapshots"][-1]["dirs"] == []
+
+
+def test_compact_full_rewrite_equals_discovery(spark, corpus_dir,
+                                               tmp_path):
+    """The all-buckets planning shortcut must produce bit-identical crawl
+    state to the collect-based discovery path: same frontier rows, same
+    results, same post-fold journal. factor=0 forces the shortcut on every
+    fold; a huge factor forces discovery on every fold."""
+    corpus, _ = corpus_dir
+    base = dict(mor_compact_every=2, bloom_min_frontier=0,
+                host_budget_per_epoch=3, max_depth=4, max_tries=2)
+
+    jobs = {}
+    for name, factor in (("short", 0), ("disc", 1 << 60)):
+        cfg = CrawlConfig(compact_full_rewrite_factor=factor, **base)
+        job = CrawlJob(spark, corpus, str(tmp_path / name), cfg)
+        job.run(max_epochs=4)
+        jobs[name] = job
+        folds = [s["meta"] for s in job.wh.manifest("frontier")["snapshots"]
+                 if s["meta"].get("compaction")]
+        assert folds, name
+        want_flag = factor == 0
+        assert all(f.get("full_rewrite") is want_flag for f in folds), name
+
+    def state(job):
+        frontier = {(r.url, r.state, r.tries, r.last_hash, r.depth,
+                     r.priority) for r in job.frontier_df().collect()}
+        results = {(r.url, r.epoch, r.fault, r.hash)
+                   for r in job.results().collect()}
+        return frontier, results
+
+    assert state(jobs["short"]) == state(jobs["disc"])

@@ -51,6 +51,18 @@ class CrawlConfig:
     # point (10^10 rows => B ~ 64k of ~150k rows); 64 fits the test scale.
     frontier_buckets: int = 64
     compact_max_dirs: int = 8           # fold buckets with >= this many dirs
+    # Compaction planning shortcut: once the journal holds at least
+    # factor * frontier_buckets rows, skip the scan+distinct+collect job
+    # that discovers which buckets hold journal keys and rewrite every
+    # bucket. Keys are hash-distributed, so P(bucket untouched) =
+    # (1 - 1/B)^rows <= e^-factor (~0.03% at 8) — the discovery job would
+    # name (essentially) all buckets anyway, and its cost is pure fixed
+    # overhead: a full journal pass + a driver round-trip that shrinks
+    # with neither cores nor cluster size. Rewriting an untouched bucket
+    # is a value-level no-op (its new slice equals its old slice), so the
+    # superset is always correct. 0 forces the shortcut (tests);
+    # a huge value forces discovery.
+    compact_full_rewrite_factor: int = 8
     # Small-table fast path (Iceberg binpack analogue): while the frontier's
     # LIVE bytes (manifest-recorded file stats, never a store listing) stay
     # under this, delta chains fold eagerly once the average chain exceeds

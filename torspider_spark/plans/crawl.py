@@ -216,13 +216,30 @@ class CrawlJob:
                     if n >= min_dirs}
         if journal is None and not overfull:
             return
+        full_rewrite = False
         if journal is not None:
             jrows = self._journal_rows()
+            # persist stays in BOTH modes: the merge below references
+            # `latest` twice (anti-join keys + union values) and the shared
+            # InMemoryRelation computes the window exactly once per
+            # partition even when the write job is its first action.
             latest = self._journal_latest(journal).persist()
-            touched = {int(r["b"]) for r in latest.select(
-                F.pmod(F.xxhash64("url_hash"),
-                       F.lit(cfg.frontier_buckets)).cast("int").alias("b"))
-                .distinct().collect()}
+            if jrows >= (cfg.compact_full_rewrite_factor
+                         * cfg.frontier_buckets):
+                # Hash-distributed keys: a journal this size touches
+                # (essentially) every bucket, so the discovery job below
+                # would cost a full journal pass + a driver round-trip —
+                # fixed wall at any cluster size — to learn nothing. A
+                # superset rewrite is always correct (an untouched
+                # bucket's new slice equals its old slice).
+                full_rewrite = True
+                touched = set(range(cfg.frontier_buckets))
+            else:
+                touched = {int(r["b"]) for r in latest.select(
+                    F.pmod(F.xxhash64("url_hash"),
+                           F.lit(cfg.frontier_buckets)).cast("int")
+                    .alias("b"))
+                    .distinct().collect()}
         else:
             latest = None
             touched = set()
@@ -240,7 +257,8 @@ class CrawlJob:
         # that commit; the full wall incl. commit tail also reaches the
         # run history as compact_seconds and the scaling bench sums it
         # into epoch wall.
-        bmeta = {"compaction": True, "buckets": len(rewrite_ids)}
+        bmeta = {"compaction": True, "buckets": len(rewrite_ids),
+                 "full_rewrite": full_rewrite}
         if journal is None:
             bmeta["compact_millis"] = int((time.time() - t_compact) * 1000)
         self.wh.commit_bucketed(
@@ -248,9 +266,11 @@ class CrawlJob:
             rewrite=new_slice.withColumn("_bucket", self._bucket_col()),
             meta=bmeta)
         if journal is not None:
-            self.wh.commit(
-                "frontier_journal", journal.limit(0), epoch,
-                mode="overwrite",
+            # Metadata-only truncation (Warehouse.truncate): no Spark job,
+            # same overwrite-snapshot semantics the journal row-count walk
+            # and the resume barrier key off.
+            self.wh.truncate(
+                "frontier_journal", epoch,
                 meta={"truncated": True, "compact_millis":
                       int((time.time() - t_compact) * 1000)})
             latest.unpersist()
@@ -519,12 +539,22 @@ class CrawlJob:
             if revived is not None:
                 update_keys = update_keys.unionByName(
                     revived.select("url_hash"))
-            touched = {
-                int(r["b"]) for r in update_keys.select(
-                    F.pmod(F.xxhash64("url_hash"),
-                           F.lit(cfg.frontier_buckets)).alias("b"))
-                .distinct().collect()
-            }
+            n_update_keys = n_candidates + n_blocked + n_revived
+            if n_update_keys >= (cfg.compact_full_rewrite_factor
+                                 * cfg.frontier_buckets):
+                # Same shortcut as compact_frontier: at this size the
+                # hash-distributed keys touch (essentially) every bucket,
+                # so skip the per-epoch discovery job (fixed driver wall)
+                # and rewrite all of them — a superset rewrite is a
+                # value-level no-op for untouched buckets.
+                touched = set(range(cfg.frontier_buckets))
+            else:
+                touched = {
+                    int(r["b"]) for r in update_keys.select(
+                        F.pmod(F.xxhash64("url_hash"),
+                               F.lit(cfg.frontier_buckets)).alias("b"))
+                    .distinct().collect()
+                }
             overfull = {
                 b for b, n in self.wh.bucket_dir_counts("frontier").items()
                 if n >= cfg.compact_max_dirs}

@@ -207,6 +207,37 @@ class Warehouse:
         self._publish(name, m)
         return snapshot
 
+    def truncate(self, name: str, epoch: int,
+                 meta: dict | None = None) -> dict:
+        """Metadata-only truncation: publish an overwrite snapshot that
+        references ZERO data files — the Iceberg TRUNCATE TABLE shape,
+        where the commit is a manifest swap and never a write job. The
+        previous route (an empty-DataFrame Spark write) paid ~1 s of job
+        scheduling in local mode — fixed wall that shrinks with neither
+        cores nor cluster size, charged to every journal compaction.
+        After truncation ``current_dirs`` is empty, so read-side guards
+        (the journal reconcile's `_journal_df`) skip the table outright
+        instead of scanning an empty parquet dir. Crash-safety is
+        unchanged: the atomic step was always the manifest publish."""
+        m = self.manifest(name)
+        if m is None:
+            raise FileNotFoundError(f"warehouse table not found: {name}")
+        seq = self._next_seq(m)
+        snapshot = {
+            "id": f"snap-{epoch:06d}-{seq:04d}",
+            "epoch": epoch,
+            "mode": "overwrite",
+            "parent": m["snapshots"][-1]["id"] if m["snapshots"] else None,
+            "committed_at": time.time(),
+            "dirs": [],
+            "meta": meta or {},
+        }
+        m["snapshots"].append(snapshot)
+        m["current_dirs"] = []
+        m["epoch_dirs"] = {str(epoch): []}
+        self._publish(name, m)
+        return snapshot
+
     def rollback(self, name: str, epoch: int) -> None:
         """Reset the table to the last snapshot at or before ``epoch``."""
         m = self.manifest(name)
