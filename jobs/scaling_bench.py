@@ -313,11 +313,14 @@ def main() -> None:
             (cb["median_throughput"] / cs["median_throughput"]) / 4, 3)
         adjacent = [round(b["throughput"] / s["throughput"] / 4, 3)
                     for s, b in zip(cs_s, cb_s)]
+        prior_history = (existing.get("compaction_variant") or {}).get(
+            "history", [])
         existing["compaction_variant"] = {
             "config": compact_cfg,
             "note": "journal-routed inserts + low row trigger: size-"
                     "triggered compactions fire during the measured "
                     "epochs; compact_sec counts toward epoch wall",
+            "history": prior_history,
             "n": cs, "four_n": cb, "scaling_efficiency": ceff,
             "efficiency_samples_this_round": adjacent,
             "samples_note": f"adjacent interleaved pairs "
@@ -461,6 +464,9 @@ def write_report(existing: dict) -> None:
                 + (f" — {cv['samples_note']}" if cv.get("samples_note")
                    else ""),
             ]
+        if cv.get("history"):
+            lines += ["", "Variant history (measurement sessions):"]
+            lines += [f"- {h}" for h in cv["history"]]
     rv = existing.get("robots_flip_variant")
     if rv:
         r = rv["four_n"]
