@@ -520,6 +520,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-deterministic (same pattern as curation_pipeline's scores).
         return rep.orderBy("doc_id")
 
+    def q_pii_scrub(spark, sf):  # training-data: PII redaction
+        """quality.redact_pii over documents with deterministic PII
+        injected for doc_id % 7 == 0 (email + IPv4 + phone appended from
+        doc_id arithmetic, rebuilt identically by the oracle), so every
+        category provably fires at any sf. Patterns live in ONE place
+        (quality.PII_PATTERNS) and are restricted to the Java/RE2-common
+        regex subset; the oracle nests the same replace chain."""
+        from torspider_spark.operators import quality as _q
+
+        docs = _t(spark, sf, "documents")
+        injected = F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".9; call +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        docs = docs.withColumn(
+            "text", F.when(F.col("doc_id") % 7 == 0,
+                           injected).otherwise(F.col("text")))
+        out = _q.redact_pii(docs)
+        return out.select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.md5("clean_text").alias("clean_md5")).orderBy("doc_id")
+
     def q_curation_pipeline(spark, sf):  # training-data: the FULL chain
         """End-to-end corpus curation — the composition a 100-TB
         training-data job actually runs, as ONE lazy plan: quality gate
@@ -1176,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "regexp_extract": q_regexp_extract,
         "scalar_subquery": q_scalar_subquery,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1456,6 +1482,33 @@ def _ivf_topk_oracle(n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
         "AND ci IN (SELECT ci FROM probes)) "
         f"SELECT vec_id, round(cos, 4) AS cos_sim FROM c "
         f"ORDER BY cos DESC, vec_id ASC LIMIT {k}")
+
+
+def _pii_oracle() -> str:
+    """pii_scrub: the injected text is rebuilt from the same doc_id
+    arithmetic, then the SAME sequential count+replace chain as
+    quality.redact_pii — counts taken on the text as each category sees
+    it. Generated from PII_PATTERNS so the two sides cannot drift; the
+    patterns are restricted to the Java/RE2-common subset (no
+    lookarounds, ASCII classes), and parity on adversarial strings is
+    pinned by tests/test_dataops.py."""
+    from torspider_spark.operators.quality import PII_PATTERNS
+
+    cur = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append("CAST(len(regexp_extract_all(" + cur + ", '" + pat
+                      + "')) AS INTEGER) AS n_" + name)
+        cur = ("regexp_replace(" + cur + ", '" + pat + "', '" + repl
+               + "', 'g')")
+    return (
+        "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+        "text || ' Contact user' || doc_id || '@example.com from 10.1.' "
+        "|| (doc_id % 200) || '.9; call +1 555 ' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "ELSE text END AS text FROM documents) "
+        "SELECT doc_id, " + ", ".join(counts) + ", md5(" + cur
+        + ") AS clean_md5 FROM aug ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2070,4 +2123,5 @@ def oracle_sql() -> dict[str, str]:
             f"'{_expected_dir()}/minhash_clusters_sim.parquet') "
             f"ORDER BY doc_id"
         ),
+        "pii_scrub": _pii_oracle(),
     }

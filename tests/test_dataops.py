@@ -451,3 +451,58 @@ def test_decontaminate_short_doc_matches_only_verbatim(spark):
     out = {r.doc_id: r.contaminated
            for r in textdedup.decontaminate(corpus, bench).collect()}
     assert out == {1: True, 2: False}
+
+
+PII_ADVERSARIAL = [
+    # boundaries, multiple matches, category interaction, near-misses
+    "mail a.b+c@ex-ample.co.uk or 10.0.0.1 call +41 79 123 45 67 ok",
+    "no pii, year 2026, short 1234, ip-ish 1.2.3 trailing",
+    "x@y.io x@y.io 192.168.255.1x 555-000-1234 and 12345678",
+    "edge@host.museum.",              # trailing dot outside the match
+    "999.999.999.999 v4-shaped",      # out-of-range quads still redact
+    "+123456789",                     # bare international digit run
+    "a@b.c",                          # TLD too short: no email match
+    "12 34 56 78 90 12 34",           # spaced digit run
+    "tel:+1-555-010-0042;ext=9",      # punctuation-adjacent
+    "@@no@@match@@ 1.2.3.4.5 dotted-five",
+    "",                               # empty text
+]
+
+
+def test_redact_pii_spark_duckdb_parity(spark):
+    """The PII patterns are restricted to the Java/RE2-common regex
+    subset; this pins that restriction — Spark's regexp_replace /
+    regexp_extract_all and DuckDB's must agree byte-for-byte on counts
+    AND redacted text for adversarial inputs (the same engine pair the
+    driver's pii_scrub oracle compares)."""
+    import duckdb
+
+    from torspider_spark.operators.quality import PII_PATTERNS, redact_pii
+
+    rows = [(i, t) for i, t in enumerate(PII_ADVERSARIAL)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.clean_text)
+           for r in redact_pii(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    cur, counts = "text", []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INTEGER)")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    want = {r[0]: tuple(r[1:]) for r in con.execute(
+        f"SELECT doc_id, {', '.join(counts)}, {cur} FROM d").fetchall()}
+    assert got == want
+
+
+def test_redact_pii_hand_expected(spark):
+    from torspider_spark.operators.quality import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "write a.b@x.io from 10.0.0.1 or call +41 79 123 45 67 now")],
+        "doc_id int, text string")
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1)
+    assert r.clean_text == "write <EMAIL> from <IP> or call <PHONE> now"

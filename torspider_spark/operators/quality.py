@@ -155,3 +155,38 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
         e6(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"))
         .alias("dup_frac_e6"),
         e6(F.col("top_count") / F.col("n_grams")).alias("top_frac_e6"))
+
+
+# PII redaction — ordered so no category ever sees another's leftovers:
+# emails first (they contain digits), then dotted IPv4 quads, then digit
+# runs (phones). Patterns are deliberately restricted to the regex subset
+# Java (Spark) and RE2 (DuckDB/the oracle) evaluate identically: no
+# lookarounds (RE2 has none), no alternation between variable-length
+# branches, ASCII classes only, greedy quantifiers.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # Optional '+' then 9-15 digits separated by single spaces/dashes.
+    # '\+?\b' (not '\b\+?'): there is no word boundary before '+' after
+    # whitespace, but there IS one between '+' and the first digit.
+    ("phone", r"\+?\b\d(?:[ -]?\d){7,13}\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-number digit runs from
+    ``text_col`` into ``clean_text``, with a per-category match count
+    (n_email, n_ipv4, n_phone) — the scrubbing pass a training-data
+    pipeline runs before export. Pure codegen'd column expressions
+    (regexp_extract_all + regexp_replace chains): zero shuffle, zero
+    Python, linear in bytes scanned — the 100-TB shape is a map-only
+    stage. Counts are taken on the text AS THAT CATEGORY SEES IT
+    (after earlier categories redacted), mirroring the sequential
+    replace, so count and replacement semantics can never drift."""
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, _repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, _repl)
+    return docs.withColumns({**counts, "clean_text": cur})
