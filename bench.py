@@ -21,6 +21,7 @@ HEADLINE = [
     "dedup_exact", "doc_quality", "token_count", "fingerprint", "ann_cosine",
     "span_dedup", "dup_clusters", "repetition",
     "stratified_sample", "pack_sequences", "export_pipeline",
+    "pii_scrub",
 ]
 
 CRAWL_EPOCHS = 5
