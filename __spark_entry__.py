@@ -1126,9 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         (count/filter/taxonomy/join shapes are inside crawl_stats /
     #         crawl_fault_taxonomy / the crawl fetch join), the ANN probe
     #         variants (fully value-oracled since r6, with ann_cosine and
-    #         near_dup_cosine holding the in-budget ANN evidence), and
+    #         near_dup_cosine holding the in-budget ANN evidence), the
+    #         capped ngram_jaccard variant (same join as the budgeted
+    #         ngram_jaccard; the cutoff's firing is bench-asserted), and
     #         TPC-H-style warm-ups.
-    # All 66 stay runnable and stay under jobs/oracle_check.py locally.
+    # All 67 stay runnable and stay under jobs/oracle_check.py locally.
     return {
         # -- crawl engine + WARC (driver rows are the §2 hard evidence) ----
         "crawl_discoveries": q_crawl_discoveries,
@@ -1164,7 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "curation_pipeline": q_curation_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "pii_scrub": q_pii_scrub,
         "near_dup_cosine": q_near_dup_cosine,
         "ann_cosine": q_ann_cosine,
         "embed_quantize": q_embed_quantize,
@@ -1201,7 +1203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "regexp_extract": q_regexp_extract,
         "scalar_subquery": q_scalar_subquery,
-        "pii_scrub": q_pii_scrub,
+        # capped variant of the in-budget ngram_jaccard: same join with
+        # the max_shingle_df cutoff; the guard's firing is additionally
+        # bench-asserted (jaccard_boiler_* lines), so its value oracle
+        # rides the local gate while pii_scrub takes the driver row.
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
     }
 
 
@@ -1665,12 +1671,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jac >= 0.2 ORDER BY a, b"
         ),
         "near_dup_cosine": _near_dup_cosine_oracle(),
+        # lsh_topk / ivf_topk gained full value oracles in r6: their probe
+        # CHOICE is deterministic (seeded hyperplane signs / md5-ordered
+        # centroid sample), so the oracles recompute buckets, probe sets
+        # and exact in-bucket re-ranks in SQL; recall vs brute_force_topk
+        # stays pytest-asserted.
         "lsh_topk": _lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
-        # lsh_topk / ivf_topk: intentionally NO oracle entries — both are
-        # approximate ops whose probe sets hinge on float sign/margin
-        # order; the driver records rows-only checks and the pytest suite
-        # asserts recall against brute_force_topk.
         "ann_cosine": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings "
             "ORDER BY vec_id LIMIT 1) "

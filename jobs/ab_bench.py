@@ -116,8 +116,10 @@ def main() -> None:
     ap.add_argument("--cleanup", action="store_true",
                     help="remove the old-ref worktree afterwards")
     args = ap.parse_args()
-    sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
-        if "sf" in args.sf_dir else 0.1
+    try:
+        sf = float(args.sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1  # label only; a path like /data/sf_corpus parses as none
 
     old_tree = ensure_old_tree(args.old_ref)
     old_samples: list[dict] = []

@@ -41,10 +41,36 @@ def test_canonicalizer_matches_reference_loop(href, host, path):
 
 @settings(max_examples=300, deadline=None)
 @given(loc=st.one_of(st.none(), hrefs), host=onion_hosts, path=base_paths)
+@example(loc="//[", host="zz.onion", path="/a/b.html").via("r6 review")
 def test_merge_matches_reference(loc, host, path):
+    """Byte-parity with the reference — INCLUDING parity in raising: on
+    a Location urlsplit cannot parse, merge_urls raises ValueError and so
+    must the raw resolve_redirect (the guarded production entry is
+    resolve_redirect_safe, tested below)."""
     base_url = f"http://{host}{path}"
-    assert weblib.resolve_redirect(loc, base_url) == \
-        ref_functions.merge_urls(loc, base_url)
+    try:
+        want = ref_functions.merge_urls(loc, base_url)
+    except ValueError:
+        try:
+            weblib.resolve_redirect(loc, base_url)
+            raise AssertionError("reference raised, ours did not")
+        except ValueError:
+            assert weblib.resolve_redirect_safe(loc, base_url) is None
+            return
+    assert weblib.resolve_redirect(loc, base_url) == want
+    assert weblib.resolve_redirect_safe(loc, base_url) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(loc=st.one_of(st.none(), hrefs), base=hrefs)
+@example(loc="//[", base="http://x.onion/a").via("r6 review")
+@example(loc="http://a.onion/x", base="//[").via("r6 review")
+def test_resolve_redirect_safe_never_raises(loc, base):
+    """The production redirect path (merge_redirect Arrow UDF + the
+    simulator) must survive ANY location/base bytes — a hostile
+    server-controlled Location header cannot kill a task."""
+    out = weblib.resolve_redirect_safe(loc, base)
+    assert out is None or isinstance(out, str)
 
 
 @settings(max_examples=200, deadline=None)

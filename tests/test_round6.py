@@ -29,6 +29,11 @@ from torspider_spark.plans.simulator import simulator_from_corpus_dir
 # exercising the conn-error branch instead of the invalid-schema branch.
 BAD_SCHEMA_SEED = "//["
 BAD_CONN_SEED = "http://[::bad.onion/"
+# Valid seed whose redirect Location is SERVER-CONTROLLED hostile bytes:
+# resolve_redirect's urlsplit would raise ValueError inside the Arrow UDF
+# (the same crash class as scheme_fanout, found by the r6 self-review).
+REDIR_SEED = "http://redirbad.onion/"
+BAD_LOCATION = "//["
 N_EPOCHS = 4
 
 
@@ -45,7 +50,9 @@ def malformed_corpus(corpus_dir, tmp_path_factory):
     meta = pq.read_table(os.path.join(corpus, "pages_meta.parquet"))
     extra_meta = pa.Table.from_pylist(
         [{"url": BAD_SCHEMA_SEED, "status": 200, "content_type": "text/html",
-          "redirect_location": None, "error_kind": "invalid_schema"}],
+          "redirect_location": None, "error_kind": "invalid_schema"},
+         {"url": REDIR_SEED, "status": 301, "content_type": None,
+          "redirect_location": BAD_LOCATION, "error_kind": None}],
         schema=meta.schema)
     pq.write_table(pa.concat_tables([meta, extra_meta]),
                    os.path.join(out, "pages_meta.parquet"))
@@ -53,7 +60,8 @@ def malformed_corpus(corpus_dir, tmp_path_factory):
     seeds = pq.read_table(os.path.join(corpus, "seeds.parquet"))
     extra_seeds = pa.Table.from_pylist(
         [{"url": BAD_SCHEMA_SEED, "depth": 0, "priority": 0},
-         {"url": BAD_CONN_SEED, "depth": 0, "priority": 0}],
+         {"url": BAD_CONN_SEED, "depth": 0, "priority": 0},
+         {"url": REDIR_SEED, "depth": 0, "priority": 0}],
         schema=seeds.schema)
     pq.write_table(pa.concat_tables([seeds, extra_seeds]),
                    os.path.join(out, "seeds.parquet"))
@@ -178,12 +186,15 @@ def test_malformed_seed_fault_is_reference_string(malformed_pair):
     job, sim, _history = malformed_pair
     engine = {(r.url, r.epoch): (r.fault, tuple(sorted(r.new_urls)))
               for r in job.results().collect()
-              if r.url in (BAD_SCHEMA_SEED, BAD_CONN_SEED)}
+              if r.url in (BAD_SCHEMA_SEED, BAD_CONN_SEED, REDIR_SEED)}
     simulated = {(r.url, r.epoch): (r.fault, tuple(sorted(r.new_urls)))
                  for r in sim.results
-                 if r.url in (BAD_SCHEMA_SEED, BAD_CONN_SEED)}
+                 if r.url in (BAD_SCHEMA_SEED, BAD_CONN_SEED, REDIR_SEED)}
     assert engine == simulated
     assert engine[(BAD_SCHEMA_SEED, 1)] == ("invalid schema", ())
+    # Hostile Location: redirect fault posted, target unresolvable ->
+    # no discovered URL, and the epoch survived (resolve_redirect_safe).
+    assert engine[(REDIR_SEED, 1)] == ("301", ())
 
 
 # -- compaction fixed-cost cuts (round 6, second half) ---------------------

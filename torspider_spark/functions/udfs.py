@@ -23,7 +23,7 @@ from torspider_spark.weblib import (
     extract_links,
     host_of_safe,
     is_onion_url,
-    resolve_redirect,
+    resolve_redirect_safe,
     scan_page,
     title_of,
 )
@@ -82,9 +82,12 @@ def extract_page(text: pd.Series, url: pd.Series,
 def merge_redirect(location: pd.Series, base_url: pd.Series) -> pd.Series:
     """Redirect Location resolution (weblib.resolve_redirect; parity with
     merge_urls, functions.py:27-68). Null location -> null (the reference's
-    missing-Location KeyError path, TorSpider.py:188-202)."""
+    missing-Location KeyError path, TorSpider.py:188-202); unparseable
+    location/base -> null via resolve_redirect_safe (a hostile Location
+    header must not kill the task — deliberate divergence, see
+    urlmerge.py)."""
     out = [
-        None if loc is None else resolve_redirect(loc, base)
+        None if loc is None else resolve_redirect_safe(loc, base)
         for loc, base in zip(location, base_url)
     ]
     return pd.Series(out, dtype="object")

@@ -166,7 +166,8 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # Optional '+' then 9-15 digits separated by single spaces/dashes.
+    # Optional '+' then 8-14 digits (1 + {7,13}) separated by single
+    # spaces/dashes.
     # '\+?\b' (not '\b\+?'): there is no word boundary before '+' after
     # whitespace, but there IS one between '+' and the first digit.
     ("phone", r"\+?\b\d(?:[ -]?\d){7,13}\b", "<PHONE>"),

@@ -33,7 +33,7 @@ from torspider_spark.weblib import (
     forms_of_json,
     host_of_safe,
     is_onion_url,
-    resolve_redirect,
+    resolve_redirect_safe,
     scan_page,
     scheme_fanout,
     sha1_hex,
@@ -157,8 +157,11 @@ class CrawlSimulator:
             res.fault = str(status)
             loc = m["redirect_location"]
             if loc is not None:
-                merged = resolve_redirect(loc, rec.url)
-                if is_onion_url(merged):
+                # _safe: None on unparseable Location/base — the engine's
+                # merge_redirect UDF applies the same per-row swallow, so
+                # the two sides stay equal on hostile redirects.
+                merged = resolve_redirect_safe(loc, rec.url)
+                if merged is not None and is_onion_url(merged):
                     res.new_urls = [merged]
                 res.redirect = merged
             return res

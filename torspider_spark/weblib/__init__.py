@@ -16,7 +16,8 @@ from torspider_spark.weblib.htmlparse import (
     scan_page,
     title_of,
 )
-from torspider_spark.weblib.urlmerge import resolve_redirect
+from torspider_spark.weblib.urlmerge import (resolve_redirect,
+                                             resolve_redirect_safe)
 from torspider_spark.weblib.urlnorm import (
     canonicalize_href,
     extract_links,
@@ -42,6 +43,7 @@ __all__ = [
     "forms_of",
     "forms_of_json",
     "resolve_redirect",
+    "resolve_redirect_safe",
     "canonicalize_href",
     "extract_links",
     "host_of",

@@ -66,3 +66,20 @@ def resolve_redirect(location: str | None, base_url: str) -> str:
         path = b_path
 
     return urlunsplit((scheme, netloc, path, l_query, ""))
+
+
+def resolve_redirect_safe(location: str | None, base_url: str) -> str | None:
+    """Per-row guarded resolve_redirect: None when either URL does not
+    parse (stdlib urlsplit raises ValueError on e.g. an unbalanced '['
+    — and a redirect Location is SERVER-CONTROLLED bytes). Deliberate
+    divergence from the reference, whose merge_urls calls urlsplit
+    unguarded (functions.py:29-33) and would crash the worker on the
+    same input: in the engine this runs inside the Arrow UDF over the
+    redirect slice, where one hostile Location must not fail the task
+    (the same policy as scheme_fanout / host_of_safe, r5 verdict #1).
+    Consumers already handle None: the engine's new_urls/redirect
+    expressions are null-gated, the simulator skips the onion check."""
+    try:
+        return resolve_redirect(location, base_url)
+    except ValueError:
+        return None
