@@ -226,6 +226,15 @@ def main() -> None:
             "shingle) rows; the final flag join is left to AQE)",
             explain_str(dec)))
 
+        pii = entry_mod.queries()["pii_scrub"](spark, sf_dir)
+        sections.append((
+            "training-data — pii_scrub (watch: the whole redaction — "
+            "injection CASE, three regexp_extract_all counts, the nested "
+            "regexp_replace chain, md5 — is ONE Project inside the scan's "
+            "WholeStageCodegen span; the only Exchange is the final "
+            "orderBy's range partitioning. A map-only stage at any scale)",
+            explain_str(pii)))
+
     out = ["# BENCH/PLANS — physical plans of the epoch pipeline",
            "",
            "Generated by jobs/dump_plans.py on the tiny corpus; the same",
