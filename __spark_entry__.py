@@ -617,7 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold/planes tuned to the synthetic embeddings' cosine range
         # (max pairwise ~0.51) so the oracle comparison is non-vacuous.
         pairs = similarity.near_duplicates_by_cosine(
-            _t(spark, sf, "embeddings"), threshold=0.3, n_planes=6)
+            _t(spark, sf, "embeddings"), threshold=0.3, n_planes=6,
+            dim=64)  # fixture dim — skips the first() driver job
         return (pairs.select("a", "b",
                              F.round("cos_sim", 4).alias("cos_sim"))
                 .orderBy("a", "b"))

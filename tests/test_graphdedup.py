@@ -149,11 +149,30 @@ def test_cc_rejects_non_numeric_ids_loudly(spark):
 
     pairs = spark.createDataFrame(
         [("docA", "docB"), ("docB", "docC")], "a: string, b: string")
-    with pytest.raises(SparkRuntimeException, match="not castable to long"):
+    with pytest.raises(SparkRuntimeException, match="castable to long"):
         graphdedup.connected_components(pairs).collect()
     # numeric strings cast losslessly and stay accepted
     ok = spark.createDataFrame([("1", "2"), ("2", "3")],
                                "a: string, b: string")
+    comps = {r.node: r.component
+             for r in graphdedup.connected_components(ok).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_rejects_lossy_fractional_ids_loudly(spark):
+    """ADVICE r6: try_cast silently TRUNCATES fractional ids (1.2 and 1.7
+    both cast to 1 — the edge collapses to a self-loop and vanishes), so
+    fractional input that does not round-trip must raise, while whole
+    doubles stay accepted."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    lossy = spark.createDataFrame(
+        [(1.2, 1.7)], "a: double, b: double")
+    with pytest.raises(SparkRuntimeException, match="castable to long"):
+        graphdedup.connected_components(lossy).collect()
+    # whole-valued doubles round-trip exactly and stay accepted
+    ok = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)],
+                               "a: double, b: double")
     comps = {r.node: r.component
              for r in graphdedup.connected_components(ok).collect()}
     assert comps == {1: 1, 2: 1, 3: 1}

@@ -101,8 +101,9 @@ def connected_components(pairs: DataFrame, id_a: str = "a",
     half-contracted labeling.
 
     ``round_stats``, when a list, receives one dict per contraction round
-    — {"round", "seconds", "edges"} (seconds covers the round's eager
-    localCheckpoint AND its signature action; edges is the canonical
+    — {"round", "seconds", "edges"} (seconds covers the round's single
+    materializing action: the signature aggregate computes the round's
+    edge set into its lazy localCheckpoint; edges is the canonical
     edge count after the round). The bench uses it to catch round-count
     regressions (e.g. a lost localCheckpoint re-deriving the whole chain
     each round) as ROUNDS, not as wall-clock noise.
@@ -113,29 +114,47 @@ def connected_components(pairs: DataFrame, id_a: str = "a",
     fail with a generic CAST_INVALID_INPUT pointing nowhere useful), so
     the cast is guarded: any row whose id is non-null before the cast
     and null after raises a named error in the first scan (no extra
-    job). String-keyed callers should pre-hash with F.xxhash64.
+    job). Fractional/decimal id columns get a second guard — try_cast
+    silently TRUNCATES (1.2 and 1.7 both cast to 1, collapsing distinct
+    nodes), so any value that does not round-trip exactly raises too.
+    String-keyed callers should pre-hash with F.xxhash64.
     """
+    from pyspark.sql.types import DecimalType, FractionalType
 
     def _as_long(name: str, alias: str):
         raw, cast = F.col(name), F.col(name).try_cast("long")
-        return (F.when(raw.isNotNull() & cast.isNull(), F.raise_error(
+        bad = raw.isNotNull() & cast.isNull()
+        dtype = pairs.schema[name].dataType
+        if isinstance(dtype, (FractionalType, DecimalType)):
+            # Lossy-cast guard: a fractional id that truncates would
+            # silently merge/split components. Round-trip through the
+            # source type and require exact equality.
+            bad = bad | (cast.cast(dtype) != raw)
+        return (F.when(bad, F.raise_error(
             F.concat(F.lit(f"connected_components: id column '{name}' is "
-                           "not castable to long (got '"),
+                           "not losslessly castable to long (got '"),
                      raw.cast("string"), F.lit("'); pre-hash string ids "
                      "with xxhash64"))))
                 .otherwise(cast).alias(alias))
 
+    # Lazy localCheckpoints throughout: the signature aggregate is the
+    # action that materializes each round's edge set INTO the checkpoint
+    # cache (one Spark job per round, not checkpoint-job + signature-job —
+    # the loop is round-latency-bound on small graphs, so halving the
+    # actions halves the fixed wall; measured in BENCH the cc_chain
+    # per-round wall dropped accordingly). Lineage still truncates at
+    # every round: later rounds scan the cached blocks, never the chain.
     edges = _canonical(
         pairs.select(_as_long(id_a, "u"), _as_long(id_b, "v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (edges.select(F.col("u").alias("node"))
              .unionByName(edges.select(F.col("v").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     sig = _signature(edges)
     for round_idx in range(max_rounds):
         t0 = time.monotonic()
         edges = _canonical(
-            _small_star(_large_star(edges))).localCheckpoint(eager=True)
+            _small_star(_large_star(edges))).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if round_stats is not None:
             round_stats.append({

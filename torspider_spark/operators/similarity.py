@@ -104,10 +104,16 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 def near_duplicates_by_cosine(embeddings: DataFrame, threshold: float = 0.95,
                               n_planes: int = 12, seed: int = 42,
                               vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> DataFrame:
+                              id_col: str = "vec_id",
+                              dim: int | None = None) -> DataFrame:
     """Embedding-space near-duplicate pairs: LSH-bucket self-join, exact
-    cosine inside buckets only (never a full cross join)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    cosine inside buckets only (never a full cross join).
+
+    Pass ``dim`` when known (callers of a fixed embedding table always
+    know it) — the ``first()`` fallback costs a driver job per
+    invocation just to read one row's length."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     bucketed = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

@@ -16,6 +16,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pydaemon_conf() -> dict:
+    """Pre-warmed Python worker daemon (torspider_spark.pydaemon): forked
+    workers inherit the daemon's imported pandas/pyarrow/numpy modules
+    copy-on-write, so the first Arrow-boundary query of a session stops
+    paying 32-64 concurrent cold imports (~10-15 s of serialized wall,
+    measured — see OPTIMIZATION_r07.md §media). The daemon is launched
+    with ``python -m``, which resolves imports from the worker's cwd plus
+    PYTHONPATH — the repo root is appended explicitly so the module
+    resolves regardless of the driver's cwd."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.pathsep.join(
+        p for p in (os.environ.get("PYTHONPATH"), repo) if p)
+    return {
+        "spark.python.daemon.module": "torspider_spark.pydaemon",
+        "spark.executorEnv.PYTHONPATH": pypath,
+    }
+
+
 def get_spark(
     app_name: str = "torspider_spark",
     master: str | None = None,
@@ -54,6 +72,8 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm"
                 ".version", "2")
     )
+    for key, val in _pydaemon_conf().items():
+        builder = builder.config(key, val)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()
