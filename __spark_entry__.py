@@ -138,6 +138,12 @@ _DUP_GRAPH_CTE = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NB: no blanket input spreading here — the scan-parallelism floor
+    # (partitioning.ensure_min_partitions) lives INSIDE the map-heavy
+    # operators (shingle explodes, n-gram fingerprints, Arrow payload
+    # decodes), where it demonstrably pays; for plain scan+aggregate
+    # queries an extra exchange only adds latency (measured both ways,
+    # OPTIMIZATION_r07.md §partitioning).
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -185,7 +185,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "a",
     first" representative; cluster_size lets curation audits find the
     boilerplate monsters.
     """
-    comps = connected_components(pairs, id_a, id_b)
+    # comps feeds BOTH the size aggregate and the final join — cut it so
+    # the label/node joins run once (same lazy-checkpoint discipline as
+    # the contraction loop).
+    comps = connected_components(pairs, id_a, id_b).localCheckpoint(
+        eager=False)
     sizes = comps.groupBy("component").agg(
         F.count("*").alias("cluster_size"))
     return (comps.join(sizes, "component")

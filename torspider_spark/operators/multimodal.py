@@ -348,6 +348,11 @@ def sample_video_frames(media: DataFrame, every_n: int = 10,
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a synthetic media table from the documents fixture: the text
     bytes stand in for an opaque payload (plumbing tests only)."""
+    from torspider_spark.partitioning import ensure_min_partitions
+
+    # Downstream is an Arrow decode pass — a one-partition input would
+    # serialize it in a single Python worker.
+    docs = ensure_min_partitions(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

@@ -103,11 +103,17 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     content_md5 — md5 of whitespace-normalized lowercase text (portable to
     the DuckDB oracle); rolling_min64 — min xxhash64 over word 4-grams (a
     1-perm minhash; shift-resistant rolling-window fingerprint)."""
+    from torspider_spark.partitioning import ensure_min_partitions
+
     normalized = F.concat_ws(" ", tokens_col(F.col(text_col)))
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     count = F.greatest(F.size(words) - F.lit(3), F.lit(1))
     grams = F.transform(F.sequence(F.lit(0), count - 1),
                         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
+    # The per-row 4-gram build is the expensive part (one slice+concat
+    # per word) — spread a narrower-than-cluster input first (measured
+    # 3.8 s -> 0.7 s on the single-file fixture; no-op on wide tables).
+    docs = ensure_min_partitions(docs)
     return docs.select(
         "*",
         F.md5(normalized).alias("content_md5"),
@@ -137,8 +143,9 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     same word_shingles construction as the MinHash path (textdedup), so
     a doc shorter than n words yields one short gram, not zero rows."""
     from torspider_spark.operators.textdedup import word_shingles
+    from torspider_spark.partitioning import ensure_min_partitions
 
-    grams = docs.select(
+    grams = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, n)).alias("g"))
     per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))

@@ -73,12 +73,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     def _family(i: int):
         return lambda s: F.xxhash64(F.lit(i), s)
 
+    from torspider_spark.partitioning import ensure_min_partitions
+
     shingles = word_shingles(text_col, shingle_n)
     sig = F.array(*[
         F.array_min(F.transform(shingles, _family(i)))
         for i in range(num_hashes)
     ])
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    # num_hashes hash families over every shingle is the heavy map work —
+    # give a narrower-than-cluster input the parallelism floor first.
+    return ensure_min_partitions(docs).select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -187,9 +192,12 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     partially aggregated map-side before the single shuffle on doc_id;
     bits re-assemble with literal shifts.
     """
+    from torspider_spark.partitioning import ensure_min_partitions
+
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(tokens).alias("tok"))
+    toks = (ensure_min_partitions(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens).alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
     votes = [
         F.sum(
@@ -268,7 +276,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     planted-boilerplate bench line). Values are unchanged; pass False
     when the input is itself a cheap scan of pre-shingled storage.
     """
-    shingled = docs.select(
+    from torspider_spark.partitioning import ensure_min_partitions
+
+    shingled = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
         .alias("sh"),
@@ -346,7 +356,9 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
     null'd-out losers). Two aggregations + one join, no row wider than
     one span.
     """
-    spans = docs.select(
+    from torspider_spark.partitioning import ensure_min_partitions
+
+    spans = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(word_span_array(text_col, span_words))
         .alias("span_idx", "span"))
@@ -401,7 +413,9 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     shingle can never false-positive across that boundary because the
     clamped shingle IS the full word sequence.
     """
-    doc_sh = docs.select(
+    from torspider_spark.partitioning import ensure_min_partitions
+
+    doc_sh = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n)))
         .alias("sh"))

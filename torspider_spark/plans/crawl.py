@@ -301,8 +301,19 @@ class CrawlJob:
 
     def run_epoch(self, epoch: int) -> dict:
         t0 = time.time()
+        phases: dict[str, float] = {}
+
+        def _mark(name: str, since: float) -> float:
+            """Coarse per-phase wall (driver-serialized actions) — the
+            attribution VERDICT r6 asked for; rides the stats dict only
+            (nothing persisted changes)."""
+            now = time.time()
+            phases[name] = round(phases.get(name, 0.0) + (now - since), 3)
+            return now
+
         cfg = self.cfg
         robots_dim = self._robots(epoch)
+        t_ph = _mark("robots", t0)
         base = self.wh.read_buckets("frontier", exclude_epoch_deltas=epoch)
         frontier = self._reconcile(base)
 
@@ -357,6 +368,7 @@ class CrawlJob:
                      .crossJoin(revived.agg(
                          F.count("*").alias("n_revived_total"))))
         agg = agg_f.collect()[0]
+        t_ph = _mark("scan_agg", t_ph)
         n_candidates = int(agg["n"] or 0)
         n_blocked = int(agg["nb"] or 0)
         n_revived = int(agg["n_revived"]) if revived_only is not None else 0
@@ -396,6 +408,26 @@ class CrawlJob:
                       ("forms", st.forms_table(epoch_results)),
                       ("pages", st.pages_table(epoch_results))]
 
+        def _commit_sink(name, df):
+            if name == "frontier":
+                return self.wh.commit_bucketed(
+                    "frontier", epoch,
+                    append=df.withColumn("_bucket", self._bucket_col()),
+                    meta={"inserted": n_inserted})
+            return self.wh.commit(name, df, epoch, mode="append")
+
+        # Submit the derived-sink commits NOW, so their write jobs overlap
+        # the E2 dedup jobs below: both sides only read the cached
+        # `internal` slice the scan aggregate above already materialized,
+        # so the epoch pays max(sinks, dedup) wall instead of their sum.
+        # The journal barrier still waits on every sink future before it
+        # commits, preserving the crash-ordering contract (barrier LAST).
+        from concurrent.futures import ThreadPoolExecutor
+
+        sink_pool = ThreadPoolExecutor(max_workers=len(sinks) + 1)
+        sink_futures = [sink_pool.submit(_commit_sink, name, df)
+                        for name, df in sinks]
+
         # E2: dedup discovered URLs against the frontier KEY SET: base keys
         # (updates always have a base row) plus raw journal keys (small
         # insert batches ride the journal until compaction). No reconcile
@@ -419,6 +451,7 @@ class CrawlJob:
             .count().collect()
         )
         n_inserted = sum(int(r["count"]) for r in bucket_rows)
+        t_ph = _mark("dedup", t_ph)
         if self._bloom is not None and n_inserted:
             # The bloom must remain a SUPERSET of frontier keys (false
             # negatives would skip the exact check and corrupt the URL-seen
@@ -459,7 +492,8 @@ class CrawlJob:
             if insert_in_journal:
                 updated = updated.unionByName(inserts)
             elif n_inserted:
-                sinks.append(("frontier", inserts))
+                sink_futures.append(
+                    sink_pool.submit(_commit_sink, "frontier", inserts))
         else:
             updated = None
 
@@ -486,27 +520,13 @@ class CrawlJob:
         # ordering as when they rode the sink pool).
         self._commit_metrics(epoch, pre_stats, bucket_rows, epoch_millis)
 
-        def _commit_sink(name, df):
-            if name == "frontier":
-                return self.wh.commit_bucketed(
-                    "frontier", epoch,
-                    append=df.withColumn("_bucket", self._bucket_col()),
-                    meta={"inserted": n_inserted})
-            return self.wh.commit(name, df, epoch, mode="append")
-
-        # The sink commits (scan_results/links/forms/pages/frontier-delta)
-        # are independent jobs over the same cached slices — submit them
-        # concurrently so the epoch pays max(job) wall, not sum(job).
-        if len(sinks) == 1:
-            _commit_sink(*sinks[0])
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-                futures = [pool.submit(_commit_sink, name, df)
-                           for name, df in sinks]
-                for fut in futures:
-                    fut.result()
+        # Barrier on every sink commit (scan_results/links/forms/pages/
+        # frontier-delta) before the journal commit below — the sinks ran
+        # concurrently with the dedup phase above.
+        for fut in sink_futures:
+            fut.result()
+        sink_pool.shutdown()
+        t_ph = _mark("sinks", t_ph)
 
         if cfg.frontier_mor:
             n_updates = (n_candidates + n_blocked + n_revived
@@ -587,9 +607,11 @@ class CrawlJob:
                       "rewritten_buckets": len(rewrite_ids),
                       "compacted_buckets": len(overfull - touched)})
 
+        _mark("barrier", t_ph)
         stats = {
             "epoch": epoch,
             "candidates": n_candidates,
+            "phases": phases,
             "blocked": n_blocked,
             "revived": n_revived,
             "revived_total": n_revived_total,
@@ -849,10 +871,21 @@ class CrawlJob:
         epoch = self.wh.current_epoch("frontier") or 0
         frontier = self.frontier_df()
         results = self.results()
-        self.wh.commit("urls", st.urls_table(frontier), epoch,
-                       mode="overwrite")
-        self.wh.commit("onions", st.onions_table(frontier, results), epoch,
-                       mode="overwrite")
+        # Two independent overwrite commits to different tables — run them
+        # concurrently (same rationale as the per-epoch sink pool): the
+        # end-of-run tail pays max(urls, onions) instead of the sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(self.wh.commit, "urls", st.urls_table(frontier),
+                            epoch, "overwrite"),
+                pool.submit(self.wh.commit, "onions",
+                            st.onions_table(frontier, results), epoch,
+                            "overwrite"),
+            ]
+            for fut in futs:
+                fut.result()
 
     def results(self) -> DataFrame:
         return self.wh.read("scan_results")

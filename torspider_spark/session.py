@@ -40,6 +40,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 2048,
     extra_conf: dict | None = None,
+    warm: bool = True,
 ) -> SparkSession:
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
@@ -78,4 +79,43 @@ def get_spark(
         builder = builder.config(key, val)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if warm:
+        _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time JIT/codegen warm-up of the execution paths every engine
+    job uses: parquet write+scan, broadcast hash join, window, explode,
+    hash aggregate, regexp, and the noop sink. Costs ~1 s at session
+    creation and removes the 2-3 s of first-query-only JVM warm-up that
+    otherwise lands on whichever query happens to run first (measured:
+    an identical dim-join query runs 3.6 s cold, 0.85 s warm — guide §1's
+    steady-state measurement discipline). No engine data is touched or
+    cached: the warm-up computes over a throwaway 1k-row range table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="spark_warm_")
+    try:
+        path = os.path.join(out, "w.parquet")
+        (spark.range(1000)
+         .select("id", F.concat(F.lit("w "), F.col("id").cast("string"))
+                 .alias("s"))
+         .write.mode("overwrite").parquet(path))
+        df = spark.read.parquet(path)
+        dim = df.limit(64).select(F.col("id").alias("k"))
+        (df.join(F.broadcast(dim), df.id == dim.k, "left")
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy(F.pmod("id", F.lit(8))).orderBy("id")))
+         .withColumn("t", F.explode(F.split("s", r"\s+")))
+         .withColumn("r", F.regexp_replace("t", r"\d", "#"))
+         .groupBy("r").agg(F.count("*").alias("n"), F.sum("id").alias("v"))
+         .write.mode("overwrite").format("noop").save())
+    except Exception:
+        pass  # warm-up must never break session creation
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -38,7 +38,22 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Per-table schema cache: the crawl loop re-opens the same tables
+        # every epoch, and each schema-less spark.read.parquet pays a
+        # driver-side footer read + schema merge over the path list. Table
+        # schemas here are commit-stable, so the first read's schema is
+        # pinned and reused (the Iceberg behavior — schemas come from
+        # table metadata, never from data-file inspection).
+        self._schemas: dict = {}
         os.makedirs(root, exist_ok=True)
+
+    def _read_parquet(self, name: str, paths: list):
+        cached = self._schemas.get(name)
+        if cached is not None:
+            return self.spark.read.schema(cached).parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        self._schemas[name] = df.schema
+        return df
 
     # -- manifest plumbing ---------------------------------------------------
 
@@ -81,8 +96,8 @@ class Warehouse:
         dirs = m["current_dirs"]
         if not dirs:
             raise FileNotFoundError(f"warehouse table empty: {name}")
-        return self.spark.read.parquet(*[os.path.join(self._table_dir(name), d)
-                                         for d in dirs])
+        return self._read_parquet(
+            name, [os.path.join(self._table_dir(name), d) for d in dirs])
 
     def commit(self, name: str, df: DataFrame, epoch: int,
                mode: str = "overwrite", meta: dict | None = None) -> dict:
@@ -323,8 +338,8 @@ class Warehouse:
                          for dirs in buckets.values() for d in dirs]
             if not any_paths:
                 raise FileNotFoundError(f"bucketed table empty: {name}")
-            return self.spark.read.parquet(any_paths[0]).limit(0)
-        return self.spark.read.parquet(*paths)
+            return self._read_parquet(name, [any_paths[0]]).limit(0)
+        return self._read_parquet(name, paths)
 
     def bucket_dir_counts(self, name: str) -> dict[int, int]:
         m = self.manifest(name) or {}
