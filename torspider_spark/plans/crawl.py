@@ -195,7 +195,13 @@ class CrawlJob:
         journal = self._journal_df()
         if journal is None:
             return base
-        latest = self._journal_latest(journal)
+        # `latest` feeds BOTH the anti-join key set and the union values;
+        # without a cut the last-writer window over the journal runs
+        # twice per epoch (once inside the broadcast-keys build, once in
+        # the main plan). Lazy localCheckpoint computes it once — rows
+        # are bounded by budget + mor_insert_journal_max_rows per epoch
+        # and capped by the size-triggered compaction.
+        latest = self._journal_latest(journal).localCheckpoint(eager=False)
         keys = self._guarded(latest.select("url_hash"), self._journal_rows())
         return base.join(keys, "url_hash", "left_anti").unionByName(latest)
 
