@@ -315,6 +315,14 @@ def main() -> None:
                     for s, b in zip(cs_s, cb_s)]
         prior_history = (existing.get("compaction_variant") or {}).get(
             "history", [])
+        # ADVICE r6: record THIS session in the carried-forward history
+        # (it previously only grew by hand-editing scaling.json).
+        prior_history = prior_history + [{
+            "label": f"local[{args.n}] vs local[{args.n * 4}]",
+            "repeats": args.variant_repeats,
+            "efficiency": ceff,
+            "adjacent_pairs": adjacent,
+        }]
         existing["compaction_variant"] = {
             "config": compact_cfg,
             "note": "journal-routed inserts + low row trigger: size-"

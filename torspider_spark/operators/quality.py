@@ -103,17 +103,18 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     content_md5 — md5 of whitespace-normalized lowercase text (portable to
     the DuckDB oracle); rolling_min64 — min xxhash64 over word 4-grams (a
     1-perm minhash; shift-resistant rolling-window fingerprint)."""
-    from torspider_spark.partitioning import ensure_min_partitions
-
+    # NB deliberately NO ensure_min_partitions here: consumers of this
+    # operator overwhelmingly prune down to content_md5 (dedup keys),
+    # and Catalyst then never evaluates the 4-gram rolling_min64 at all —
+    # an unconditional spread only adds an exchange (measured: the
+    # fingerprint driver query regressed 0.65 -> 1.08 s in the r6-vs-r7
+    # interleaved A/B with a spread here; reverted). Callers that DO
+    # consume rolling_min64 over a narrow input should spread upstream.
     normalized = F.concat_ws(" ", tokens_col(F.col(text_col)))
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     count = F.greatest(F.size(words) - F.lit(3), F.lit(1))
     grams = F.transform(F.sequence(F.lit(0), count - 1),
                         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))
-    # The per-row 4-gram build is the expensive part (one slice+concat
-    # per word) — spread a narrower-than-cluster input first (measured
-    # 3.8 s -> 0.7 s on the single-file fixture; no-op on wide tables).
-    docs = ensure_min_partitions(docs)
     return docs.select(
         "*",
         F.md5(normalized).alias("content_md5"),
