@@ -84,26 +84,24 @@ def scan_good_pages(classified: DataFrame, pages: DataFrame,
     per epoch on a 4.6 GB corpus — catastrophic at real scale).
 
     Candidates whose body row is missing surface via a key-only anti-join
-    against the fetch join's OWN output urls (lazily localCheckpointed —
-    bounded by the politeness budget times page size, the same in-flight
-    set the broadcast build side already implies), so the page store is
-    scanned exactly ONCE per epoch: r6 derived the bodyless set with a
-    second pages.url scan + broadcast build, a per-epoch fixed cost that
-    grows with the store, not the epoch. The bodyless rows post the
-    reference's GET-connection-error result: online was already set True
-    at HEAD time (TorSpider.py:236-237), the handler posts the record
-    as-is (TorSpider.py:362-373). With ``broadcast_candidates=False``
-    both joins fall back to AQE (bucketed-storage co-location on a real
-    deployment).
+    (reads just pages.url — column-pruned) and post the reference's
+    GET-connection-error result: online was already set True at HEAD time
+    (TorSpider.py:236-237), the handler posts the record as-is
+    (TorSpider.py:362-373). With ``broadcast_candidates=False`` both joins
+    fall back to AQE (bucketed-storage co-location on a real deployment).
+
+    r7 note: a "single pages pass" variant that lazily checkpointed the
+    fetch join's output (bodies included) and anti-joined against its
+    urls was tried and REVERTED: at scaling volume (~380k candidates ×
+    page bytes per epoch) the cached body slice is 1-2 GB of storage
+    pressure per epoch and the local[4] crawl wall regressed ~1.8×,
+    while the pass it saves is a cheap column-pruned scan of pages.url.
     """
     good = classified.filter(_good_text_predicate())
     build = F.broadcast(good) if broadcast_candidates else good
     keyed = pages.select("url", "html", "text")
-    body = keyed.join(build, "url", "inner").localCheckpoint(eager=False)
-    matched_urls = body.select("url")
-    bodyless = good.join(
-        F.broadcast(matched_urls) if broadcast_candidates else matched_urls,
-        "url", "left_anti")
+    body = keyed.join(build, "url", "inner")
+    bodyless = good.join(keyed.select("url"), "url", "left_anti")
     body = body.withColumn("page_hash", F.sha1(F.col("html")))
     # B4 change gate — computed JVM-side BEFORE the Arrow UDF so unchanged
     # pages skip link/form work (the reference's single biggest CPU saver,

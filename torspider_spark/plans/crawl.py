@@ -198,11 +198,14 @@ class CrawlJob:
         # `latest` feeds BOTH the anti-join key set and the union values;
         # without a cut the last-writer window over the journal runs
         # twice per epoch (once inside the broadcast-keys build, once in
-        # the main plan). Lazy localCheckpoint computes it once — rows
-        # are bounded by budget + mor_insert_journal_max_rows per epoch
-        # and capped by the size-triggered compaction.
-        latest = self._journal_latest(journal).localCheckpoint(eager=False)
-        keys = self._guarded(latest.select("url_hash"), self._journal_rows())
+        # the main plan). Lazy localCheckpoint computes it once — guarded
+        # by the same row bound as the broadcast hint so a journal that
+        # outgrew its compaction cadence is never force-cached.
+        jrows = self._journal_rows()
+        latest = self._journal_latest(journal)
+        if jrows <= self.cfg.mor_broadcast_max_rows:
+            latest = latest.localCheckpoint(eager=False)
+        keys = self._guarded(latest.select("url_hash"), jrows)
         return base.join(keys, "url_hash", "left_anti").unionByName(latest)
 
     def compact_frontier(self, epoch: int, fold_chains: bool = False) -> None:
